@@ -1,0 +1,91 @@
+"""Delta + varint posting-list codec and block-max metadata (pure numpy).
+
+From-scratch columnar replacement for the reference's in-memory skip list
+(internal/reverse_index/skiplist_reverse_index.go:15-55): postings are
+kept sorted by doc_id and compressed as LEB128 varints of first-order
+deltas. Both encode and decode are fully vectorized — no Python loop per
+posting — so a mega-term (df ~ 10^8 per partition) encodes at memory
+bandwidth, which is what makes the salted-merge phase cheap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SHIFTS = (np.arange(10, dtype=np.uint64) * np.uint64(7))  # 10*7 >= 64 bits
+# thresholds[i] = 2**(7*(i+1)); a value v needs (1 + sum(v >= thresholds)) bytes
+_THRESHOLDS = (np.uint64(1) << (_SHIFTS[1:])).astype(np.uint64)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    # bytes needed per value: 1 + count of thresholds <= v
+    nbytes = np.ones(n, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (v >= t).astype(np.int64)  # 9 vectorized compares, exact
+    groups = (v[:, None] >> _SHIFTS[None, :]).astype(np.uint8) & np.uint8(0x7F)
+    pos = np.arange(10)[None, :]
+    keep = pos < nbytes[:, None]
+    cont = pos < (nbytes - 1)[:, None]
+    groups = np.where(cont, groups | np.uint8(0x80), groups)
+    return groups[keep].tobytes()
+
+
+def varint_decode(buf: bytes | memoryview, out_dtype=np.int64) -> np.ndarray:
+    """Decode an LEB128 byte stream into an int array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=out_dtype)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    n_vals = len(ends)
+    value_idx = np.repeat(np.arange(n_vals), ends - starts + 1)
+    byte_pos = np.arange(len(b)) - starts[value_idx]
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        byte_pos.astype(np.uint64) * np.uint64(7)
+    )
+    out = np.zeros(n_vals, dtype=np.uint64)
+    np.bitwise_or.at(out, value_idx, contrib)
+    return out.astype(out_dtype)
+
+
+def encode_postings(doc_ids: np.ndarray) -> bytes:
+    """Delta+varint encode a strictly-increasing int64 doc_id array."""
+    d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    if len(d) == 0:
+        return b""
+    deltas = np.empty_like(d)
+    deltas[0] = d[0]
+    np.subtract(d[1:], d[:-1], out=deltas[1:])
+    if len(d) > 1 and deltas[1:].min() <= 0:
+        raise ValueError("doc_ids must be strictly increasing")
+    return varint_encode(deltas)
+
+
+def decode_postings(buf: bytes | memoryview) -> np.ndarray:
+    return np.cumsum(varint_decode(buf, np.int64))
+
+
+def block_max_metadata(
+    doc_ids: np.ndarray, scores: np.ndarray, block_size: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block (last_doc_id, max_score) over a sorted posting list.
+
+    `scores` are the exact BM25 contributions of this term for each
+    posting (computable at build time: tf, doc_len and global stats are
+    all known after the stats phase — SURVEY.md §7.4 phase C).
+    """
+    n = len(doc_ids)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    n_blocks = (n + block_size - 1) // block_size
+    last = doc_ids[np.minimum(np.arange(1, n_blocks + 1) * block_size, n) - 1]
+    bmax = np.maximum.reduceat(scores, np.arange(n_blocks) * block_size)
+    return last.astype(np.int64), bmax.astype(np.float64)

@@ -1,0 +1,214 @@
+"""Query engines over built posting segments (SURVEY.md §7.5).
+
+- ``Index``: loads a build's segments + stats once (the ST1 "state
+  loaded once per worker" mapping — in Ray terms this lives in an
+  actor's __init__).
+- ``LocalEngine``: boolean set algebra bit-identical to quicker's
+  skiplist semantics (IntersectionOfSkipList/UnionOfSkipList + flag
+  filter, skiplist_reverse_index.go:77-206) + exact BM25 top-k with
+  block-max pruning for flat OR shapes (wand.py).
+- ``QueryEngineActor``: callable class for ``map_batches`` over a
+  Dataset of query JSONs — the distributed batch-query path; the index
+  is loaded once per actor.
+
+Top-k is total-ordered by (-score, doc_id): deterministic ranks.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from quickray.codec import decode_postings, varint_decode
+from quickray.query import And, Or, Query, Term, collect_terms, flat_or_terms, query_from_json
+from quickray.scoring import bm25_contrib, flags_mask
+
+
+@dataclass
+class Posting:
+    doc_ids: np.ndarray
+    tfs: np.ndarray
+    dls: np.ndarray
+    bits: np.ndarray
+    df: int
+    block_last: np.ndarray
+    block_max: np.ndarray
+
+
+class Index:
+    """In-memory view of one build's segments. At multi-node scale each
+    query actor would load only its term-hash shards (the `shard`
+    column written at merge time); single-node tests load everything."""
+
+    def __init__(self, out_dir: str, shards: set[int] | None = None):
+        self.out_dir = out_dir
+        with open(os.path.join(out_dir, "stats", "stats.json")) as f:
+            self.stats = json.load(f)
+        self.n_docs = self.stats["n_docs"]
+        self.avgdl = self.stats["avgdl"]
+        filters = [("shard", "in", sorted(shards))] if shards is not None else None
+        self._seg = pq.read_table(
+            os.path.join(out_dir, "segments"), filters=filters
+        )
+        self._terms = {t: i for i, t in enumerate(self._seg["term"].to_pylist())}
+        self._cache: dict[str, Posting | None] = {}
+
+    def posting(self, term: str) -> Posting | None:
+        if term in self._cache:
+            return self._cache[term]
+        i = self._terms.get(term)
+        if i is None:
+            p = None
+        else:
+            p = Posting(
+                doc_ids=decode_postings(self._seg["postings"][i].as_py()),
+                tfs=varint_decode(self._seg["tfs"][i].as_py()),
+                dls=varint_decode(self._seg["dls"][i].as_py()),
+                bits=varint_decode(self._seg["bitsv"][i].as_py()),
+                df=self._seg["df"][i].as_py(),
+                block_last=np.asarray(self._seg["block_last"][i].as_py(), np.int64),
+                block_max=np.asarray(self._seg["block_max"][i].as_py(), np.float64),
+            )
+        if len(self._cache) < 4096:
+            self._cache[term] = p
+        return p
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self._terms)
+
+
+def _accumulate_topk(
+    doc_arrays: list[np.ndarray], contrib_arrays: list[np.ndarray], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sum per-term contributions per doc (term-sorted input order ->
+    deterministic float summation) and return top-k by (-score, doc_id)."""
+    if not doc_arrays:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    docs = np.concatenate(doc_arrays)
+    contribs = np.concatenate(contrib_arrays)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inv, contribs)
+    order = np.lexsort((uniq, -scores))[:k]
+    return uniq[order], scores[order]
+
+
+class LocalEngine:
+    def __init__(self, index: Index):
+        self.index = index
+
+    # ------------------------------------------------------- set algebra
+    def _leaf(self, term: str, q: Query) -> np.ndarray:
+        p = self.index.posting(term)
+        if p is None:
+            return np.empty(0, np.int64)
+        if q.on_flag == 0 and q.off_flag == 0 and not any(q.or_flags):
+            return p.doc_ids
+        return p.doc_ids[flags_mask(p.bits, q.on_flag, q.off_flag, q.or_flags)]
+
+    def candidates(self, q: Query) -> np.ndarray:
+        """Boolean evaluation — sorted doc_id array. AND = sorted-list
+        intersection (J2), OR = sorted union (J3); flags filter at the
+        leaf scan exactly like the reference (M3)."""
+
+        def ev(node) -> np.ndarray:
+            if node is None:
+                return np.empty(0, np.int64)
+            if isinstance(node, Term):
+                return self._leaf(node.term, q)
+            if not node.children:
+                return np.empty(0, np.int64)
+            parts = [ev(c) for c in node.children]
+            if isinstance(node, And):
+                out = parts[0]
+                for p in parts[1:]:
+                    if len(out) == 0:
+                        return out
+                    out = np.intersect1d(out, p, assume_unique=True)
+                return out
+            return functools.reduce(np.union1d, parts)
+
+        return ev(q.tree)
+
+    # ----------------------------------------------------------- scoring
+    def _term_contrib(
+        self, term: str, cand: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        p = self.index.posting(term)
+        if p is None or len(cand) == 0:
+            return None
+        li = np.searchsorted(p.doc_ids, cand)
+        li_c = np.minimum(li, len(p.doc_ids) - 1)
+        hit = (li < len(p.doc_ids)) & (p.doc_ids[li_c] == cand)
+        if not hit.any():
+            return None
+        pos = li_c[hit]
+        contrib = bm25_contrib(
+            p.tfs[pos], p.dls[pos], p.df, self.index.n_docs, self.index.avgdl
+        )
+        return cand[hit], contrib
+
+    def score(self, q: Query, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        docs, contribs = [], []
+        for term in collect_terms(q.tree):
+            got = self._term_contrib(term, cand)
+            if got is not None:
+                docs.append(got[0])
+                contribs.append(got[1])
+        return _accumulate_topk(docs, contribs, q.k)
+
+    def search(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k (doc_ids, scores), rank-identical to the oracle."""
+        terms = flat_or_terms(q.tree)
+        if terms is not None:
+            from quickray.wand import block_max_topk
+
+            return block_max_topk(self, terms, q)
+        return self.score(q, self.candidates(q))
+
+    def search_df(self, q: Query):
+        ids, scores = self.search(q)
+        return pa.table(
+            {
+                "rank": np.arange(1, len(ids) + 1, dtype=np.int64),
+                "doc_id": ids,
+                "score": scores,
+            }
+        )
+
+
+class QueryEngineActor:
+    """map_batches stage: batch of query-JSON strings -> result rows.
+
+    Index loaded once per actor (__init__), served per batch — the
+    actor-pool analog of quicker's per-worker in-memory index + the
+    Sentinel's scatter/gather (sentinel.go:137-187) with Ray doing the
+    scheduling."""
+
+    def __init__(self, index_dir: str, shards: set[int] | None = None):
+        self.engine = LocalEngine(Index(index_dir, shards))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        for qjson in batch["query"].to_pylist():
+            q = query_from_json(json.loads(qjson))
+            ids, sc = self.engine.search(q)
+            qids.extend([q.id] * len(ids))
+            ranks.extend(range(1, len(ids) + 1))
+            docs.extend(ids.tolist())
+            scores.extend(sc.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )

@@ -1,0 +1,92 @@
+"""Reference query set (FIXTURES.md F3) — deterministic, ~50 queries.
+
+Shapes mirror the reference tests: single terms across the df spectrum,
+pure AND chains (IntersectionOfSkipList), pure OR (Union), and the
+compound (q1∧q2)∨(q3∧q4∧q5) from indexer_test.go:119-132, with and
+without on/off/or flag filters. Term choice is a pure function of the
+df table, so the same set is generated for engine and oracle.
+"""
+
+from __future__ import annotations
+
+from quickray.query import And, Or, Query, Term
+
+ABSENT = "zz_absent_term_zz"
+
+
+def _spectrum(df: dict[str, int]) -> dict[str, list[str]]:
+    by_hot = sorted(df, key=lambda t: (-df[t], t))
+    n = len(by_hot)
+    hot = by_hot[: max(3, n // 100)]
+    mid = by_hot[n // 3 : n // 3 + max(6, n // 50)]
+    rare = [t for t in by_hot if df[t] <= 2][:12] or by_hot[-12:]
+    return {"hot": hot, "mid": mid, "rare": rare}
+
+
+def make_query_set(df: dict[str, int], langs: list[str] | None = None) -> list[Query]:
+    s = _spectrum(df)
+    hot, mid, rare = s["hot"], s["mid"], s["rare"]
+
+    def pick(pool: list[str], i: int) -> str:
+        return pool[i % len(pool)]
+
+    queries: list[Query] = []
+
+    def add(tree, **kw):
+        q = Query(tree=tree, **kw)
+        q.id = f"q{len(queries):03d}"
+        queries.append(q)
+
+    # single terms across the df spectrum
+    for i in range(3):
+        add(Term(pick(hot, i)))
+        add(Term(pick(mid, i)), k=20)
+        add(Term(pick(rare, i)))
+    add(Term(ABSENT))
+
+    # pure AND chains, arity 2-4
+    add(And((Term(pick(hot, 0)), Term(pick(mid, 0)))))
+    add(And((Term(pick(mid, 1)), Term(pick(mid, 2)))), k=25)
+    add(And((Term(pick(hot, 1)), Term(pick(mid, 3)), Term(pick(mid, 4)))))
+    add(And((Term(pick(hot, 0)), Term(pick(hot, 1)), Term(pick(mid, 5)), Term(pick(rare, 0)))))
+    add(And((Term(pick(mid, 0)), Term(ABSENT))))
+
+    # pure OR, arity 2-4 (block-max path)
+    add(Or((Term(pick(mid, 0)), Term(pick(mid, 1)))))
+    add(Or((Term(pick(rare, 1)), Term(pick(rare, 2)), Term(pick(rare, 3)))), k=30)
+    add(Or((Term(pick(hot, 0)), Term(pick(mid, 2)), Term(pick(rare, 4)))), k=15)
+    add(Or((Term(pick(hot, 1)), Term(pick(hot, 2)))), k=5)
+    add(Or((Term(ABSENT), Term(pick(mid, 3)))))
+
+    # compound (q1∧q2)∨(q3∧q4∧q5) — indexer_test.go:119-132 shape
+    compound = Or(
+        (
+            And((Term(pick(hot, 0)), Term(pick(mid, 0)))),
+            And((Term(pick(mid, 1)), Term(pick(mid, 2)), Term(pick(rare, 5)))),
+        )
+    )
+    add(compound, k=20)
+    add(And((Or((Term(pick(mid, 0)), Term(pick(mid, 1)))),
+             Or((Term(pick(hot, 0)), Term(pick(rare, 6)))))))
+
+    # flag-filtered variants (langs bit 0/1, test-path bit 8, long-doc bit 9)
+    n_l = len(langs) if langs else 2
+    add(Term(pick(hot, 0)), on_flag=1 << 0)
+    add(Term(pick(hot, 1)), on_flag=1 << min(1, n_l - 1), k=15)
+    add(Term(pick(hot, 2)), off_flag=1 << 0)
+    add(Term(pick(mid, 0)), on_flag=1 << 9)
+    add(Term(pick(mid, 1)), off_flag=(1 << 8) | (1 << 9))
+    add(Or((Term(pick(mid, 2)), Term(pick(mid, 3)))), or_flags=(1 << 0 | 1 << min(1, n_l - 1),))
+    add(Or((Term(pick(hot, 0)), Term(pick(mid, 4)))),
+        or_flags=(0, 1 << 9), k=25)  # zero entry must be skipped (M3 rule)
+    add(compound, on_flag=1 << 9, off_flag=1 << 8, or_flags=(0, (1 << n_l) - 1), k=15)
+    add(And((Term(pick(hot, 0)), Term(pick(hot, 1)))), on_flag=(1 << 0) | (1 << 9))
+
+    # k variations on one mid term
+    for k in (1, 5, 50):
+        add(Term(pick(mid, 6)), k=k)
+
+    # big OR over the hot set (worst-case union / WAND stress)
+    add(Or(tuple(Term(t) for t in hot[:8])), k=10)
+    add(Or(tuple(Term(pick(mid, i)) for i in range(8))), k=20)
+    return queries
