@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the quickray graft (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (full index build over the
+sf0.001 documents corpus + the reference query set answered by an
+actor-pool query engine). ``queries()`` exposes one callable per
+implemented operator/pipeline (SURVEY.md §2 + training-data extras);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible entry (tables documents/embeddings/... are
+pre-registered views).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported —
+nothing in here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,256 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# Shared SQL fragments ------------------------------------------------------
+# Tokenization identical to quickray.tokenize (lowercase, split on runs
+# of non-[a-z0-9_]); doc_len counts docs with zero tokens as 0; global
+# stats computed exactly like the engine's stats phase.
+_TOK = """
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents
+),
+tokf AS (SELECT doc_id, term FROM tok WHERE term <> '')
+"""
+
+_DL = """
+dl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS doc_len
+  FROM documents d LEFT JOIN tokf t USING (doc_id)
+  GROUP BY d.doc_id
+),
+g AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(doc_len)::BIGINT AS total_tokens,
+         sum(doc_len)::DOUBLE / count(*) AS avgdl
+  FROM dl
+)
+"""
+
+_DF = """
+df AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, term FROM tokf)
+  GROUP BY term
+)
+"""
+
+# bits: bit i = lang == DOC_LANGS[i] (sorted: de,en,es,fr,zh), bit 9 =
+# doc_len > avgdl; bit 8 (test path) is always 0 for this corpus.
+_BITS = """
+bits AS (
+  SELECT d.doc_id, d.lang, dl.doc_len,
+         (CASE d.lang WHEN 'de' THEN 1 WHEN 'en' THEN 2 WHEN 'es' THEN 4
+                      WHEN 'fr' THEN 8 WHEN 'zh' THEN 16 ELSE 0 END
+          + CASE WHEN dl.doc_len > g.avgdl THEN 512 ELSE 0 END)::BIGINT AS bits
+  FROM documents d JOIN dl USING (doc_id) CROSS JOIN g
+)
+"""
+
+# Exact BM25 contribution per (doc, term), matching quickray.scoring
+# operation-for-operation (k1=1.2, b=0.75, idf=ln((N-df+.5)/(df+.5)+1)).
+def _bm25_scored(terms: tuple[str, ...]) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tokf WHERE term IN ({tlist})
+  GROUP BY doc_id, term
+),
+contrib AS (
+  SELECT tf.doc_id,
+         ln((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / g.avgdl)) AS c
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN g
+),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+"""
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on sf0.001: build the inverted index (5 Ray phases) and
+    answer the ~36-query reference set via the actor-pool query engine."""
+    from quickray.pipelines import reference_query_results
+
+    return reference_query_results("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from quickray import pipelines as P
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # inverted-index build surface
+        "term_df": P.term_df,
+        "doc_stats": P.doc_stats,
+        "doc_lengths": P.doc_lengths,
+        "docmeta_bits": P.docmeta_bits,
+        "sha256_docs": P.sha256_docs,
+        # boolean retrieval (J2/J3/M3/M5)
+        "boolean_and": P.boolean_and,
+        "boolean_or": P.boolean_or,
+        "boolean_compound": P.boolean_compound,
+        "bit_filter": P.bit_filter,
+        "range_filter": P.range_filter,
+        # BM25 scoring + lookup join
+        "bm25_scores_single": P.bm25_scores_single,
+        "bm25_topk": P.bm25_topk,
+        "forward_lookup": P.forward_lookup,
+        # aggregates
+        "count_by_lang": P.count_by_lang,
+        "top_terms": P.top_terms,
+        # training-data extras
+        "dedup_exact": P.dedup_exact_pipeline,
+        "token_stats": P.token_stats_pipeline,
+        "text_quality": P.quality_pipeline,
+        "ngram_jaccard": P.ngram_jaccard_pipeline,
+        "ann_cosine_topk": P.ann_topk_pipeline,
+        # non-SQL-expressible (driver records rows-only checks)
+        "minhash_near_dup": P.minhash_pairs_pipeline,
+        "simhash": P.simhash_pipeline,
+        "ivf_ann_topk": P.ivf_topk_pipeline,
+        "langid": P.langid_pipeline,
+        "media_features": P.media_features_pipeline,
+        "reference_queries": P.reference_query_results,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = "('the', 'a', 'of', 'and', 'to')"
+    return {
+        "term_df": f"""
+WITH {_TOK}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM tokf GROUP BY term
+""",
+        "doc_stats": f"""
+WITH {_TOK}, {_DL}
+SELECT n_docs, total_tokens, avgdl FROM g
+""",
+        "doc_lengths": f"""
+WITH {_TOK}, {_DL}
+SELECT doc_id, doc_len FROM dl
+""",
+        "docmeta_bits": f"""
+WITH {_TOK}, {_DL}, {_BITS}
+SELECT doc_id, lang, doc_len, bits FROM bits
+""",
+        "sha256_docs": """
+SELECT doc_id, sha256(text) AS sha256 FROM documents
+""",
+        "boolean_and": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents
+)
+SELECT doc_id FROM tok WHERE term = 'spark'
+INTERSECT SELECT doc_id FROM tok WHERE term = 'hash'
+INTERSECT SELECT doc_id FROM tok WHERE term = 'window'
+""",
+        "boolean_or": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents
+)
+SELECT doc_id FROM tok WHERE term = 'vector'
+UNION SELECT doc_id FROM tok WHERE term = 'dup'
+""",
+        "boolean_compound": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents
+)
+(SELECT doc_id FROM tok WHERE term = 'spark'
+ INTERSECT SELECT doc_id FROM tok WHERE term = 'hash')
+UNION
+(SELECT doc_id FROM tok WHERE term = 'merge'
+ INTERSECT SELECT doc_id FROM tok WHERE term = 'sort'
+ INTERSECT SELECT doc_id FROM tok WHERE term = 'window')
+""",
+        "bit_filter": f"""
+WITH {_TOK}, {_DL}, {_BITS}
+SELECT DISTINCT t.doc_id
+FROM tokf t JOIN bits b USING (doc_id)
+WHERE t.term = 'data' AND (b.bits & 2) = 2 AND (b.bits & 512) = 0
+""",
+        "range_filter": f"""
+WITH {_TOK}, {_DL}
+SELECT DISTINCT t.doc_id, dl.doc_len
+FROM tokf t JOIN dl USING (doc_id)
+WHERE t.term = 'join' AND dl.doc_len BETWEEN 40 AND 70
+""",
+        "bm25_scores_single": f"""
+WITH {_TOK}, {_DL}, {_DF}, {_bm25_scored(('window',))}
+SELECT doc_id, round(score, 4) AS score FROM scored
+""",
+        "bm25_topk": f"""
+WITH {_TOK}, {_DL}, {_DF}, {_bm25_scored(('spark', 'window', 'hash'))}
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY round(score, 4) DESC, doc_id LIMIT 20
+""",
+        "forward_lookup": f"""
+WITH {_TOK}, {_DL}, {_DF}, {_bm25_scored(('hash', 'spark'))}
+SELECT s.doc_id, round(s.score, 4) AS score, d.lang, sha256(d.text) AS sha256
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY round(s.score, 4) DESC, s.doc_id LIMIT 10
+""",
+        "count_by_lang": """
+SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+""",
+        "top_terms": f"""
+WITH {_TOK}
+SELECT term, count(*)::BIGINT AS cf FROM tokf GROUP BY term
+ORDER BY cf DESC, term LIMIT 10
+""",
+        "dedup_exact": """
+SELECT min(doc_id)::BIGINT AS keep_doc_id, count(*)::BIGINT AS group_size
+FROM documents GROUP BY text
+""",
+        "token_stats": f"""
+WITH {_TOK}
+SELECT d.doc_id,
+       count(t.term)::BIGINT AS n_tokens,
+       count(DISTINCT t.term)::BIGINT AS n_distinct
+FROM documents d
+LEFT JOIN (SELECT doc_id, term FROM tok WHERE term <> '') t USING (doc_id)
+GROUP BY d.doc_id
+""",
+        "text_quality": f"""
+WITH {_TOK}
+SELECT d.doc_id,
+       count(t.term)::BIGINT AS n_tokens,
+       coalesce(sum(CASE WHEN t.term IN {stop} THEN 1 ELSE 0 END), 0)::BIGINT AS n_stopwords,
+       coalesce(sum(length(t.term)), 0)::BIGINT AS token_len_sum
+FROM documents d
+LEFT JOIN (SELECT doc_id, term FROM tok WHERE term <> '') t USING (doc_id)
+GROUP BY d.doc_id
+""",
+        "ngram_jaccard": f"""
+WITH {_TOK},
+s AS (SELECT DISTINCT doc_id, term FROM tokf WHERE doc_id < 60),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS c
+  FROM s a JOIN s b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a, i.b,
+       round(i.c::DOUBLE / (sa.n + sb.n - i.c), 4) AS jaccard
+FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+WHERE i.c::DOUBLE / (sa.n + sb.n - i.c) >= 0.2
+""",
+        "ann_cosine_topk": """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 4) AS cosine
+FROM embeddings
+ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 4) DESC,
+         vec_id
+LIMIT 10
+""",
+    }

@@ -1,0 +1,132 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute_force_topk: exact cosine top-k; the query matrix is broadcast
+  once (ray.put), each batch does one numpy matmul, per-batch partial
+  top-k shrinks the reduce (never ships full similarity columns).
+- ivf_topk: IVF-style scale path — deterministic k-means-lite centroids
+  from a driver-side sample, batches score only the nprobe closest
+  cells' rows. Approximate by construction (recall < 1 possible).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _batch_mat(batch: pa.Table) -> np.ndarray:
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=-1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _BruteScorer:
+    """Actor-pool stage: the normalized query vector is fetched from the
+    object store once per actor, each batch emits its local top-k."""
+
+    def __init__(self, query_ref, k: int, ndigits: int | None):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float64))
+        self.k = k
+        self.ndigits = ndigits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from quickray.util import round_sql
+
+        m = _normalize(_batch_mat(batch))
+        sims = m @ self.q
+        if self.ndigits is not None:
+            sims = round_sql(sims, self.ndigits)
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        if len(ids) > self.k:
+            part = np.argpartition(-sims, self.k - 1)[: self.k]
+            ids, sims = ids[part], sims[part]
+        return pa.table(
+            {"vec_id": pa.array(ids), "cosine": pa.array(sims, pa.float64())}
+        )
+
+
+def brute_force_topk(
+    ds: "rd.Dataset", query_vec, k: int = 10, ndigits: int | None = 4
+) -> pa.Table:
+    """Exact cosine top-k, deterministic tie-break (-cosine, vec_id)."""
+    ref = ray.put(np.asarray(query_vec, dtype=np.float64))
+    partials = ds.map_batches(
+        _BruteScorer,
+        fn_constructor_kwargs={"query_ref": ref, "k": k, "ndigits": ndigits},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).take_all()
+    ids = np.array([r["vec_id"] for r in partials], dtype=np.int64)
+    sims = np.array([r["cosine"] for r in partials], dtype=np.float64)
+    order = np.lexsort((ids, -sims))[:k]
+    return pa.table(
+        {"vec_id": pa.array(ids[order]), "cosine": pa.array(sims[order])}
+    )
+
+
+def _kmeans_lite(sample: np.ndarray, nlist: int, iters: int = 5) -> np.ndarray:
+    """Deterministic k-means on a sample: first-nlist init, Lloyd iters."""
+    centroids = sample[:nlist].copy()
+    for _ in range(iters):
+        d = _normalize(sample) @ _normalize(centroids).T
+        assign = np.argmax(d, axis=1)
+        for c in range(nlist):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_topk(
+    ds: "rd.Dataset",
+    query_vec,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    sample_rows: int = 512,
+) -> pa.Table:
+    """IVF-bucketed approximate top-k: rows whose nearest centroid is not
+    among the query's nprobe cells are never scored."""
+    sample = _batch_mat(
+        pa.Table.from_pylist(ds.limit(sample_rows).take_all())
+    )
+    centroids = _kmeans_lite(sample, nlist)
+    cn = _normalize(centroids)
+    q = _normalize(np.asarray(query_vec, dtype=np.float64))
+    probe = set(np.argsort(-(cn @ q))[:nprobe].tolist())
+    cent_ref = ray.put(centroids)
+
+    class CellScorer:
+        def __init__(self):
+            self.cn = _normalize(ray.get(cent_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_mat(batch))
+            assign = np.argmax(m @ self.cn.T, axis=1)
+            from quickray.util import round_sql
+
+            keep = np.isin(assign, list(probe))
+            ids = np.asarray(batch["vec_id"], dtype=np.int64)[keep]
+            sims = m[keep] @ q
+            return pa.table(
+                {"vec_id": pa.array(ids), "cosine": pa.array(round_sql(sims, 4))}
+            )
+
+    partials = ds.map_batches(CellScorer, batch_format="pyarrow", concurrency=2).take_all()
+    ids = np.array([r["vec_id"] for r in partials], dtype=np.int64)
+    sims = np.array([r["cosine"] for r in partials], dtype=np.float64)
+    order = np.lexsort((ids, -sims))[:k]
+    return pa.table(
+        {"vec_id": pa.array(ids[order]), "cosine": pa.array(sims[order])}
+    )

@@ -1,0 +1,160 @@
+"""Text-analysis operators over a documents table (doc_id, text).
+
+All per-batch bodies are vectorized Arrow/numpy; language-ID is a
+stateful actor-pool stage (profiles built once per actor).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from quickray.tokenize import flatten_tokens
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+# tiny deterministic stopword profiles for the heuristic language-ID
+# (n-gram/stopword overlap — a real system would load fastText here;
+# the actor-pool plumbing is identical)
+LANG_PROFILES = {
+    "en": {"the", "and", "of", "a", "to", "in", "is"},
+    "de": {"der", "die", "das", "und", "ist", "ein"},
+    "es": {"el", "la", "de", "los", "es", "una"},
+    "fr": {"le", "la", "les", "des", "est", "une"},
+    "zh": {"de", "shi", "le", "zai", "he", "you"},
+}
+
+
+def _tok_table(batch: pa.Table) -> pa.Table:
+    flat, parents = flatten_tokens(batch["text"])
+    doc = pc.take(batch["doc_id"], parents)
+    if isinstance(doc, pa.ChunkedArray):
+        doc = doc.combine_chunks()
+    return pa.table({"doc_id": doc, "term": flat})
+
+
+def token_stats(ds: "rd.Dataset") -> "rd.Dataset":
+    """doc_id -> (n_tokens, n_distinct). Per-batch exact (docs never
+    span batches), no global shuffle needed."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        tok = _tok_table(batch)
+        totals = tok.group_by("doc_id").aggregate([([], "count_all")])
+        distinct = (
+            tok.group_by(["doc_id", "term"]).aggregate([])
+            .group_by("doc_id").aggregate([([], "count_all")])
+        )
+        t = dict(zip(totals["doc_id"].to_pylist(), totals["count_all"].to_pylist()))
+        d = dict(zip(distinct["doc_id"].to_pylist(), distinct["count_all"].to_pylist()))
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array([t.get(i, 0) for i in ids], pa.int64()),
+                "n_distinct": pa.array([d.get(i, 0) for i in ids], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def quality_scores(ds: "rd.Dataset", stopwords=STOPWORDS, ndigits: int = 4) -> "rd.Dataset":
+    """Per-doc quality features: token count, stopword ratio, mean token
+    length — the cheap heuristics a pretraining pipeline filters on."""
+    stop = set(stopwords)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        flat, parents = flatten_tokens(batch["text"])
+        par = np.asarray(parents)
+        n = batch.num_rows
+        n_tok = np.zeros(n, np.int64)
+        np.add.at(n_tok, par, 1)
+        is_stop = np.fromiter(
+            (t in stop for t in flat.to_pylist()), dtype=np.int64, count=len(flat)
+        )
+        n_stop = np.zeros(n, np.int64)
+        np.add.at(n_stop, par, is_stop)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        len_sum = np.zeros(n, np.int64)
+        np.add.at(len_sum, par, tok_len)
+        denom = np.maximum(1, n_tok).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "stop_ratio": pa.array(np.round(n_stop / denom, ndigits)),
+                "mean_tok_len": pa.array(np.round(len_sum / denom, ndigits)),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def content_hashes(ds: "rd.Dataset") -> "rd.Dataset":
+    """doc_id -> sha256(text) — the exact-dup / invariant fingerprint."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256(s.encode()).hexdigest() for s in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "sha256": pa.array(hs, pa.string())})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+class LangId:
+    """Actor-pool language-ID stage: profiles compiled once per actor
+    (ST1 pattern). Heuristic: argmax stopword-set overlap; ties and
+    no-overlap -> 'und'."""
+
+    def __init__(self, profiles: dict[str, set[str]] | None = None):
+        self.profiles = {k: frozenset(v) for k, v in (profiles or LANG_PROFILES).items()}
+        self.order = sorted(self.profiles)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, parents = flatten_tokens(batch["text"])
+        toks_per_doc: list[set] = [set() for _ in range(batch.num_rows)]
+        for t, p in zip(flat.to_pylist(), parents.to_pylist()):
+            toks_per_doc[p].add(t)
+        langs = []
+        for toks in toks_per_doc:
+            best, best_n = "und", 0
+            for lang in self.order:
+                n = len(toks & self.profiles[lang])
+                if n > best_n:
+                    best, best_n = lang, n
+            langs.append(best)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "pred_lang": pa.array(langs, pa.string())}
+        )
+
+
+def rolling_fingerprints(ds: "rd.Dataset", window: int = 8) -> "rd.Dataset":
+    """Rabin-style rolling hash over the token stream: per doc, the min
+    of window polynomial hashes — a cheap shift-robust fingerprint."""
+    B = np.int64(1000003)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        flat, parents = flatten_tokens(batch["text"])
+        par = np.asarray(parents)
+        th = np.array(
+            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") >> 1
+             for t in flat.to_pylist()],
+            dtype=np.int64,
+        )
+        n = batch.num_rows
+        fps = np.zeros(n, dtype=np.int64)
+        for d in range(n):
+            h = th[par == d]
+            if len(h) == 0:
+                continue
+            w = min(window, len(h))
+            pw = B ** np.arange(w, dtype=np.int64)  # wraps mod 2^64 — fine, it's a hash
+            roll = np.convolve(h, pw, mode="valid") if len(h) >= w else np.array([h @ pw[: len(h)]])
+            fps[d] = np.min(roll)
+        return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps)})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

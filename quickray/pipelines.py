@@ -1,0 +1,358 @@
+"""Named pipelines over the driver testdata tables — the concrete
+entries surfaced by __ray_entry__.queries().
+
+Each function takes sf_dir and returns a Dataset / pyarrow Table whose
+column names match the corresponding oracle SQL in __ray_entry__
+(driver compares row-count + schema + order-insensitive value hash).
+
+The documents table is adapted to the corpus schema (corpus.
+documents_as_corpus) and indexed once per sf_dir into a /tmp cache;
+BM25/boolean pipelines then run against that index — so the driver's
+correctness gate exercises the real build pipeline end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from functools import lru_cache
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from quickray.corpus import documents_as_corpus
+from quickray.engine import Index, LocalEngine
+from quickray.query import And, Or, Query, Term
+from quickray.tokenize import flatten_tokens
+from quickray.util import round_sql, topk_rounded
+
+DOC_LANGS = ["de", "en", "es", "fr", "zh"]  # sorted; bit i = DOC_LANGS[i]
+CACHE_ROOT = "/tmp/quickray_cache"
+
+
+def _docs_ds(sf_dir: str) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb_ds(sf_dir: str) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+@lru_cache(maxsize=8)
+def docs_engine(sf_dir: str) -> LocalEngine:
+    """Build (once, cached+resumable) the full index over the adapted
+    documents corpus; returns a query engine on it."""
+    from quickray.build import build_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(CACHE_ROOT, f"docsidx_{tag}")
+    corpus = documents_as_corpus(sf_dir)
+    build_index(corpus, out, id_col="doc_id", langs=DOC_LANGS, num_salts=4)
+    return LocalEngine(Index(out))
+
+
+# ------------------------------------------------------------ inverted index
+def term_df(sf_dir: str) -> pa.Table:
+    """(term, df, cf) — the distributed inversion's aggregate view."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parents = flatten_tokens(batch["text"])
+        doc = pc.take(batch["doc_id"], parents)
+        if isinstance(doc, pa.ChunkedArray):
+            doc = doc.combine_chunks()
+        tok = pa.table({"term": flat, "doc_id": doc})
+        per_doc = tok.group_by(["term", "doc_id"]).aggregate([([], "count_all")])
+        out = per_doc.group_by("term").aggregate(
+            [([], "count_all"), ("count_all", "sum")]
+        )
+        return pa.table(
+            {
+                "term": out["term"],
+                "pdf": out["count_all"],
+                "pcf": out["count_all_sum"],
+            }
+        )
+
+    res = (
+        _docs_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("pdf", alias_name="df"), Sum("pcf", alias_name="cf"))
+    )
+    return res
+
+
+def doc_stats(sf_dir: str) -> pa.Table:
+    eng = docs_engine(sf_dir)
+    return pa.table(
+        {
+            "n_docs": pa.array([eng.index.n_docs], pa.int64()),
+            "total_tokens": pa.array([eng.index.stats["total_tokens"]], pa.int64()),
+            "avgdl": pa.array([eng.index.avgdl], pa.float64()),
+        }
+    )
+
+
+def doc_lengths(sf_dir: str) -> pa.Table:
+    dm = pq.read_table(
+        os.path.join(docs_engine(sf_dir).index.out_dir, "docmeta"),
+        columns=["doc_id", "doc_len"],
+    )
+    return dm
+
+
+def docmeta_bits(sf_dir: str) -> pa.Table:
+    dm = pq.read_table(
+        os.path.join(docs_engine(sf_dir).index.out_dir, "docmeta"),
+        columns=["doc_id", "lang", "doc_len", "bits"],
+    )
+    return dm
+
+
+def sha256_docs(sf_dir: str) -> pa.Table:
+    """Per-row content sha256 — the north-rule invariant, exposed."""
+    dm = pq.read_table(
+        os.path.join(docs_engine(sf_dir).index.out_dir, "docmeta"),
+        columns=["doc_id", "sha256"],
+    )
+    return dm
+
+
+# --------------------------------------------------------------- boolean ops
+def _ids_table(ids: np.ndarray) -> pa.Table:
+    return pa.table({"doc_id": pa.array(np.asarray(ids, np.int64))})
+
+
+def boolean_and(sf_dir: str) -> pa.Table:
+    eng = docs_engine(sf_dir)
+    q = Query(tree=And((Term("spark"), Term("hash"), Term("window"))))
+    return _ids_table(eng.candidates(q))
+
+
+def boolean_or(sf_dir: str) -> pa.Table:
+    eng = docs_engine(sf_dir)
+    q = Query(tree=Or((Term("vector"), Term("dup"))))
+    return _ids_table(eng.candidates(q))
+
+
+def boolean_compound(sf_dir: str) -> pa.Table:
+    """(spark ∧ hash) ∨ (merge ∧ sort ∧ window) — the reference compound
+    query shape (indexer_test.go:119-132)."""
+    eng = docs_engine(sf_dir)
+    q = Query(
+        tree=Or(
+            (
+                And((Term("spark"), Term("hash"))),
+                And((Term("merge"), Term("sort"), Term("window"))),
+            )
+        )
+    )
+    return _ids_table(eng.candidates(q))
+
+
+def bit_filter(sf_dir: str) -> pa.Table:
+    """Posting scan with bits pre-filter: term 'data', lang==en (on),
+    long-doc bit off (M3 semantics)."""
+    eng = docs_engine(sf_dir)
+    en_bit = 1 << DOC_LANGS.index("en")
+    q = Query(tree=Term("data"), on_flag=en_bit, off_flag=1 << 9)
+    return _ids_table(eng.candidates(q))
+
+
+def range_filter(sf_dir: str) -> pa.Table:
+    """Post-retrieval numeric range filter (M5 analog): docs matching
+    'join' with doc_len in [40, 70]."""
+    eng = docs_engine(sf_dir)
+    cand = eng.candidates(Query(tree=Term("join")))
+    p = eng.index.posting("join")
+    mask = np.isin(p.doc_ids, cand) & (p.dls >= 40) & (p.dls <= 70)
+    return pa.table(
+        {
+            "doc_id": pa.array(p.doc_ids[mask]),
+            "doc_len": pa.array(p.dls[mask]),
+        }
+    )
+
+
+# ------------------------------------------------------------------- scoring
+BM25_OR_TERMS = ("spark", "window", "hash")
+
+
+def bm25_scores_single(sf_dir: str) -> pa.Table:
+    """All docs matching 'window', exact BM25, rounded like SQL."""
+    eng = docs_engine(sf_dir)
+    q = Query(tree=Term("window"), k=10**9)
+    ids, scores = eng.search(q)
+    return pa.table(
+        {"doc_id": pa.array(ids), "score": pa.array(round_sql(scores, 4))}
+    )
+
+
+def bm25_topk(sf_dir: str) -> pa.Table:
+    eng = docs_engine(sf_dir)
+    q = Query(tree=Or(tuple(Term(t) for t in BM25_OR_TERMS)), k=10**9)
+    ids, scores = eng.search(q)
+    ids, scores = topk_rounded(ids, scores, 20)
+    return pa.table({"doc_id": pa.array(ids), "score": pa.array(scores)})
+
+
+def forward_lookup(sf_dir: str) -> pa.Table:
+    """J1: top-10 candidates joined back to the forward index (docmeta)."""
+    eng = docs_engine(sf_dir)
+    q = Query(tree=Or((Term("spark"), Term("hash"))), k=10**9)
+    ids, scores = eng.search(q)
+    ids, scores = topk_rounded(ids, scores, 10)
+    dm = pq.read_table(
+        os.path.join(eng.index.out_dir, "docmeta"),
+        columns=["doc_id", "lang", "sha256"],
+    )
+    hit = pa.table(
+        {"doc_id": pa.array(ids), "score": pa.array(round_sql(scores, 4))}
+    )
+    return hit.join(dm, keys="doc_id").sort_by("doc_id")
+
+
+def count_by_lang(sf_dir: str):
+    """A1 analog: grouped count, distributed."""
+    return _docs_ds(sf_dir).groupby("lang").aggregate(Count(alias_name="n"))
+
+
+# ---------------------------------------------------------- training extras
+def dedup_exact_pipeline(sf_dir: str):
+    from quickray.extras.dedup import exact_duplicates
+
+    return exact_duplicates(_docs_ds(sf_dir))
+
+
+def token_stats_pipeline(sf_dir: str):
+    from quickray.extras.textstats import token_stats
+
+    return token_stats(_docs_ds(sf_dir))
+
+
+def quality_pipeline(sf_dir: str) -> pa.Table:
+    """Integer-exact quality features (counts, not ratios, so the
+    value-hash can't be bitten by rounding-mode differences)."""
+    from quickray.extras.textstats import STOPWORDS
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        flat, parents = flatten_tokens(batch["text"])
+        par = np.asarray(parents)
+        n = batch.num_rows
+        n_tok = np.zeros(n, np.int64)
+        np.add.at(n_tok, par, 1)
+        stop = set(STOPWORDS)
+        is_stop = np.fromiter(
+            (t in stop for t in flat.to_pylist()), dtype=np.int64, count=len(flat)
+        )
+        n_stop = np.zeros(n, np.int64)
+        np.add.at(n_stop, par, is_stop)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        len_sum = np.zeros(n, np.int64)
+        np.add.at(len_sum, par, tok_len)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "n_stopwords": pa.array(n_stop),
+                "token_len_sum": pa.array(len_sum),
+            }
+        )
+
+    return _docs_ds(sf_dir).map_batches(per_batch, batch_format="pyarrow")
+
+
+def top_terms(sf_dir: str) -> pa.Table:
+    t = term_df(sf_dir).to_pandas()
+    t = t.sort_values(["cf", "term"], ascending=[False, True]).head(10)
+    return pa.Table.from_pandas(t[["term", "cf"]], preserve_index=False)
+
+
+def ann_topk_pipeline(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-10 vs the embedding of vec_id=0."""
+    from quickray.extras.similarity import brute_force_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py()
+    return brute_force_topk(_emb_ds(sf_dir), qvec, k=10, ndigits=4)
+
+
+def ivf_topk_pipeline(sf_dir: str) -> pa.Table:
+    from quickray.extras.similarity import ivf_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py()
+    return ivf_topk(_emb_ds(sf_dir), qvec, k=10, nlist=8, nprobe=3)
+
+
+def minhash_pairs_pipeline(sf_dir: str) -> pa.Table:
+    from quickray.extras.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(_docs_ds(sf_dir), threshold=0.5)
+
+
+def ngram_jaccard_pipeline(sf_dir: str, max_doc_id: int = 60) -> pa.Table:
+    """Exact token-set Jaccard (shingle k=1) on doc_id < 60 pairs."""
+    from quickray.extras.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs_ds(sf_dir), max_doc_id=max_doc_id, shingle_k=1, threshold=0.2
+    )
+
+
+def simhash_pipeline(sf_dir: str):
+    from quickray.extras.dedup import simhash_signatures
+
+    return simhash_signatures(_docs_ds(sf_dir))
+
+
+def langid_pipeline(sf_dir: str):
+    from quickray.extras.textstats import LangId
+
+    return _docs_ds(sf_dir).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2
+    )
+
+
+def media_features_pipeline(sf_dir: str):
+    from quickray.extras.multimodal import featurize, synthetic_media
+
+    n = max(32, min(256, _count_docs(sf_dir) // 4))
+    return featurize(rd.from_arrow(synthetic_media(n)))
+
+
+def _count_docs(sf_dir: str) -> int:
+    return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+
+def reference_query_results(sf_dir: str):
+    """Flagship: the full reference query set answered distributed —
+    a Dataset of query JSONs map_batches'd through QueryEngineActor
+    (index loaded once per actor)."""
+    import json as _json
+
+    from quickray.engine import QueryEngineActor
+    from quickray.queryset import make_query_set
+
+    eng = docs_engine(sf_dir)
+    df_map = {
+        t: eng.index.posting(t).df
+        for t in list(eng.index._terms)
+    }
+    queries = make_query_set(df_map, langs=DOC_LANGS)
+    qds = rd.from_items([{"query": _json.dumps(q.to_json())} for q in queries])
+    return qds.map_batches(
+        QueryEngineActor,
+        fn_constructor_kwargs={"index_dir": eng.index.out_dir},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=8,
+    )
