@@ -1,0 +1,251 @@
+#!/usr/bin/env python
+"""quickray benchmark harness (driver contract).
+
+Default mode: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N}
+
+--scaling: run the same index-build job twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 on the same input corpus and report both
+throughputs plus scaling efficiency (the sandbox evidence for the north
+rule's two-cluster-size criterion). Results land in BENCH/scaling.json
+and are summarized in BASELINE.md.
+
+Stages benchmarked (headline = the north-rule pipeline):
+  build_docs        full 5-phase index build over documents.parquet
+  query_p50 / p95   reference query set latency, index loaded once
+  query_batch       distributed batch-query via actor-pool engine
+  codecorpus_build  same build over the synthetic source-code corpus
+                    (input_hint schema; ~8x the documents row count)
+  minhash_dedup     MinHash+LSH near-dup pairs over documents
+  ann_topk          brute-force cosine top-k over embeddings
+  token_stats       per-doc token statistics
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SCRATCH = "/tmp/quickray_bench"
+
+
+def _fresh(path: str) -> str:
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _consume(res) -> int:
+    """Fully execute a pipeline result; return row count."""
+    import pyarrow as pa
+
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    if hasattr(res, "count"):
+        return res.count()
+    return len(res)
+
+
+def _build_corpus_index(corpus_path: str, out_dir: str) -> dict:
+    from quickray.build import build_index
+
+    _fresh(out_dir)
+    t0 = time.time()
+    res = build_index(corpus_path, out_dir, num_salts=8)
+    sec = time.time() - t0
+    return {
+        "sec": sec,
+        "n_docs": res.stats["n_docs"],
+        "docs_per_sec": res.stats["n_docs"] / sec,
+        "vocab": res.stats["vocab_size"],
+        "phase_times": res.phase_times,
+    }
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        from quickray import pipelines as P
+        from quickray.build import build_index
+        from quickray.corpus import documents_as_corpus, ensure_corpus_parquet
+        from quickray.engine import Index, LocalEngine
+        from quickray.queryset import make_query_set
+
+        stages: dict[str, float] = {}
+        extra: dict[str, object] = {}
+
+        # ---- headline: full index build over the documents corpus ----
+        corpus = documents_as_corpus(sf_dir)
+        n_docs = corpus.num_rows
+        out = _fresh(os.path.join(SCRATCH, "docsidx"))
+        t0 = time.time()
+        build_index(
+            corpus, out, id_col="doc_id", langs=P.DOC_LANGS, num_salts=4
+        )
+        stages["build_docs"] = time.time() - t0
+        extra["build_docs_per_sec"] = n_docs / stages["build_docs"]
+
+        # ---- query latency: reference set, index loaded once ----
+        eng = LocalEngine(Index(out))
+        df_map = {t: eng.index.posting(t).df for t in list(eng.index._terms)}
+        queries = make_query_set(df_map, langs=P.DOC_LANGS)
+        for q in queries[:4]:
+            eng.search(q)  # warm the posting cache
+        lat = []
+        for q in queries:
+            t0 = time.time()
+            eng.search(q)
+            lat.append(time.time() - t0)
+        stages["query_p50"] = statistics.median(lat)
+        stages["query_p95"] = statistics.quantiles(lat, n=20)[18]
+        extra["n_queries"] = len(queries)
+
+        # ---- distributed batch query (actor-pool engine) ----
+        t0 = time.time()
+        _consume(P.reference_query_results(sf_dir))
+        stages["query_batch"] = time.time() - t0
+
+        # ---- the input_hint corpus at ~8x documents scale ----
+        n_code = max(4000, 8 * n_docs)
+        corpus_path = ensure_corpus_parquet(SCRATCH, n_code)
+        r = _build_corpus_index(
+            corpus_path, os.path.join(SCRATCH, "codeidx")
+        )
+        stages["codecorpus_build"] = r["sec"]
+        extra["codecorpus_docs"] = r["n_docs"]
+        extra["codecorpus_docs_per_sec"] = r["docs_per_sec"]
+
+        # ---- training-data extras ----
+        t0 = time.time()
+        _consume(P.minhash_pairs_pipeline(sf_dir))
+        stages["minhash_dedup"] = time.time() - t0
+        t0 = time.time()
+        _consume(P.ann_topk_pipeline(sf_dir))
+        stages["ann_topk"] = time.time() - t0
+        t0 = time.time()
+        _consume(P.token_stats_pipeline(sf_dir))
+        stages["token_stats"] = time.time() - t0
+
+        sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+        try:
+            sf_val: object = float(sf)
+        except ValueError:
+            sf_val = sf
+        return {
+            "metric": "quickray_bench_total_sec",
+            "value": round(sum(stages.values()), 3),
+            "unit": "sec",
+            "queries": {k: round(v, 4) for k, v in stages.items()},
+            "sf": sf_val,
+            "num_cpus": num_cpus,
+            "detail": {
+                k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in extra.items()
+            },
+        }
+    finally:
+        ray.shutdown()
+
+
+# ---------------------------------------------------------------- scaling
+def scaling_child(corpus_path: str, num_cpus: int, out_json: str) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        r = _build_corpus_index(
+            corpus_path, os.path.join(SCRATCH, f"scaleidx_{num_cpus}")
+        )
+        r["num_cpus"] = num_cpus
+        with open(out_json, "w") as f:
+            json.dump(r, f)
+    finally:
+        ray.shutdown()
+
+
+def run_scaling(n_docs: int, cpus_small: int, cpus_big: int) -> dict:
+    """Same job, same input, two parallelism levels, fresh processes."""
+    from quickray.corpus import ensure_corpus_parquet
+
+    corpus_path = ensure_corpus_parquet(SCRATCH, n_docs)
+    results = {}
+    for c in (cpus_small, cpus_big):
+        out_json = os.path.join(SCRATCH, f"scaling_{c}.json")
+        subprocess.run(
+            [
+                sys.executable, os.path.abspath(__file__),
+                "--scaling-child", "--cpus", str(c),
+                "--corpus", corpus_path, "--out", out_json,
+            ],
+            check=True,
+            cwd=REPO,
+        )
+        with open(out_json) as f:
+            results[c] = json.load(f)
+    tp_s = results[cpus_small]["docs_per_sec"]
+    tp_b = results[cpus_big]["docs_per_sec"]
+    eff = (tp_b / tp_s) / (cpus_big / cpus_small)
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            f"build_cpus{cpus_small}": round(results[cpus_small]["sec"], 3),
+            f"build_cpus{cpus_big}": round(results[cpus_big]["sec"], 3),
+        },
+        "sf": f"codecorpus_n{n_docs}",
+        "num_cpus": cpus_big,
+        "detail": {
+            "n_docs": n_docs,
+            f"docs_per_sec_cpus{cpus_small}": round(tp_s, 1),
+            f"docs_per_sec_cpus{cpus_big}": round(tp_b, 1),
+            "speedup": round(tp_b / tp_s, 3),
+            "cpu_ratio": cpus_big / cpus_small,
+        },
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(
+        os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-docs", type=int, default=40000)
+    ap.add_argument("--scaling-cpus", default="8,32")
+    ap.add_argument("--scaling-child", action="store_true",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--corpus", help=argparse.SUPPRESS)
+    ap.add_argument("--out", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.scaling_child:
+        scaling_child(args.corpus, args.cpus, args.out)
+        return
+    if args.scaling:
+        small, big = (int(x) for x in args.scaling_cpus.split(","))
+        print(json.dumps(run_scaling(args.scaling_docs, small, big)))
+        return
+    print(json.dumps(run_bench(args.sf_dir, args.cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,18 +4,22 @@ Phases (each a checkpointed Dataset pipeline, see checkpoint.Manifest):
 
   corpus_ids  read corpus -> deterministic doc_id -> +sha256 +doc_len
   stats       N / total_tokens / avgdl (aggregate) + hot-term detection
-              (per-batch partial df -> groupby sum -> threshold)
-  postings    actor-pool tokenizer -> (term, doc_id, tf, dl, bits, salt)
-              -> groupby((term, salt)) -> sorted delta+varint partials
-  merge       groupby(term) over partials -> ordered concat of salted
-              runs -> block-max metadata -> final posting segments
+              (sampled per-batch partial df -> groupby sum -> threshold)
+  postings    actor-pool tokenizer -> compressed per-batch posting RUNS
+              (one row per term per batch, delta+varint streams)
+              -> groupby(part = hash(term, salt) % num_parts)
+              -> vectorized partition merge -> (term, salt) partials
+  merge       groupby(mpart = hash(term) % num_shards) over partials ->
+              vectorized partition merge + BM25 block-max metadata ->
+              final posting segments
   docmeta     forward-index analog (doc_id, repo, path, commit, lang,
               sha256, doc_len, bits)
 
 Skew: hot terms (df > hot_df) are salted with contiguous doc_id-range
-salts (salt = doc_id * S // N), capping the largest shuffle partition at
-~1/S of the hottest term; the merge phase concatenates the runs in salt
-order — already globally sorted, no re-sort (SURVEY §7.4).
+salts (salt = run_min_doc * S // N), spreading a hot term's runs over S
+level-1 partitions so the largest shuffle partition stays bounded; the
+merge phases re-sort decoded values by (group, doc_id), so correctness
+never depends on run arrival order (SURVEY §7.4; merge.py).
 
 Scale notes: every stage is a streaming map_batches / groupby over
 Arrow; nothing materializes the corpus on the driver. The corpus_ids
@@ -41,11 +45,22 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from quickray.checkpoint import Manifest
-from quickray.codec import block_max_metadata, encode_postings, varint_encode
 from quickray.docids import assign_doc_ids
-from quickray.schema import BLOCK_SIZE, LANGS, PARTIAL_SCHEMA, SEGMENT_SCHEMA
-from quickray.scoring import bm25_contrib
+from quickray.merge import make_final_merge, make_level1_merge
+from quickray.schema import BLOCK_SIZE, LANGS
 from quickray.tokenize import Tokenizer, flatten_tokens
+
+
+def _segment_row_count(seg_dir: str) -> int:
+    """Vocab size from parquet footers only (no data read)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(seg_dir, "*.parquet"))
+    )
 
 
 def _sha256_col(t: pa.Table) -> pa.Table:
@@ -67,77 +82,6 @@ def _partial_df(t: pa.Table) -> pa.Table:
     pairs = pa.table({"term": flat, "d": parents}).group_by(["term", "d"]).aggregate([])
     out = pairs.group_by("term").aggregate([([], "count_all")])
     return pa.table({"term": out["term"], "partial_df": out["count_all"]})
-
-
-def _encode_partial(group: pa.Table) -> pa.Table:
-    """One (term, salt) group -> one encoded partial-posting row."""
-    if group.num_rows == 0:
-        return PARTIAL_SCHEMA.empty_table()
-    doc = np.asarray(group["doc_id"], dtype=np.int64)
-    order = np.argsort(doc, kind="stable")
-    doc = doc[order]
-    tf = np.asarray(group["tf"], dtype=np.int64)[order]
-    dl = np.asarray(group["dl"], dtype=np.int64)[order]
-    bits = np.asarray(group["bits"], dtype=np.int64)[order]
-    return pa.table(
-        {
-            "term": [group["term"][0].as_py()],
-            "salt": [group["salt"][0].as_py()],
-            "df": [len(doc)],
-            "postings": [encode_postings(doc)],
-            "tfs": [varint_encode(tf)],
-            "dls": [varint_encode(dl)],
-            "bitsv": [varint_encode(bits)],
-        },
-        schema=PARTIAL_SCHEMA,
-    )
-
-
-def _make_merge_fn(n_docs: int, avgdl: float, block_size: int, num_shards: int):
-    """groupby(term) finalizer: ordered concat of salted runs + block-max."""
-
-    def merge_term(group: pa.Table) -> pa.Table:
-        from quickray.codec import decode_postings, varint_decode
-
-        if group.num_rows == 0:
-            return SEGMENT_SCHEMA.empty_table()
-        term = group["term"][0].as_py()
-        salts = np.asarray(group["salt"], dtype=np.int64)
-        order = np.argsort(salts, kind="stable")
-        docs, tfs, dls, bits = [], [], [], []
-        for i in order:
-            docs.append(decode_postings(group["postings"][i].as_py()))
-            tfs.append(varint_decode(group["tfs"][i].as_py()))
-            dls.append(varint_decode(group["dls"][i].as_py()))
-            bits.append(varint_decode(group["bitsv"][i].as_py()))
-        doc = np.concatenate(docs)
-        tf = np.concatenate(tfs)
-        dl = np.concatenate(dls)
-        bt = np.concatenate(bits)
-        if len(doc) > 1 and np.any(np.diff(doc) <= 0):
-            raise AssertionError(f"salted merge produced unsorted postings for {term!r}")
-        df = len(doc)
-        scores = bm25_contrib(tf, dl, df, n_docs, avgdl)
-        last, bmax = block_max_metadata(doc, scores, block_size)
-        shard = int.from_bytes(
-            hashlib.md5(term.encode()).digest()[:8], "little"
-        ) % num_shards
-        return pa.table(
-            {
-                "term": [term],
-                "df": [df],
-                "postings": [encode_postings(doc)],
-                "tfs": [varint_encode(tf)],
-                "dls": [varint_encode(dl)],
-                "bitsv": [varint_encode(bt)],
-                "block_last": [last],
-                "block_max": [bmax],
-                "shard": [shard],
-            },
-            schema=SEGMENT_SCHEMA,
-        )
-
-    return merge_term
 
 
 @dataclass
@@ -173,6 +117,7 @@ def build_index(
     hot_df: int | None = None,
     num_salts: int = 8,
     num_shards: int = 32,
+    num_parts: int = 64,
     tokenizer_concurrency: int | None = None,
     block_size: int = BLOCK_SIZE,
 ) -> BuildResult:
@@ -222,24 +167,40 @@ def build_index(
             )
         avgdl = total_tokens / max(1, n_docs)
         threshold = hot_df if hot_df is not None else max(256, n_docs // 8)
-        dfs = (
-            rd.read_parquet(ids_dir, columns=["content"])
-            .map_batches(_partial_df, batch_format="pyarrow")
+        # Hot-term detection runs on a deterministic 1/16 doc sample once
+        # the corpus is big enough — the hot set only steers level-1
+        # partitioning (salting), never final index content, so sampling
+        # cannot change the output. Saves a full tokenize pass at scale.
+        sample_mod = 1 if n_docs <= 20_000 else 16
+        src = rd.read_parquet(ids_dir, columns=["doc_id", "content"])
+        if sample_mod > 1:
+            import pyarrow.compute as _pc
+
+            src = src.map_batches(
+                lambda t: t.filter(
+                    _pc.equal(_pc.bit_wise_and(t["doc_id"], sample_mod - 1), 0)
+                ),
+                batch_format="pyarrow",
+            )
+        hot_rows = (
+            src.map_batches(_partial_df, batch_format="pyarrow")
             .groupby("term")
             .aggregate(Sum("partial_df", alias_name="df"))
+            .map_batches(
+                lambda t: t.filter(
+                    np.asarray(t["df"]) > threshold // sample_mod
+                ),
+                batch_format="pyarrow",
+            )
+            .take_all()
         )
-        vocab_size = dfs.count()
-        hot_rows = dfs.map_batches(
-            lambda t: t.filter(np.asarray(t["df"]) > threshold),
-            batch_format="pyarrow",
-        ).take_all()
         hot_terms = sorted(r["term"] for r in hot_rows)
         stats = {
             "n_docs": n_docs,
             "total_tokens": total_tokens,
             "avgdl": avgdl,
-            "vocab_size": int(vocab_size),
             "hot_df_threshold": int(threshold),
+            "hot_sample_mod": sample_mod,
             "hot_terms": hot_terms,
             "num_salts": num_salts,
             "block_size": block_size,
@@ -255,13 +216,18 @@ def build_index(
     result.phase_times["stats"] = time.time() - t0
 
     # ------------------------------------------------------ phase postings
+    # Tokenizer actors emit compressed per-batch posting runs; the
+    # level-1 shuffle groups them by part = hash(term, salt) % num_parts
+    # and each map_groups call merges a whole partition vectorized
+    # (merge.py). Shuffle payload = varint runs, ~10x smaller than the
+    # exploded (term, doc, tf) stream.
     t0 = time.time()
     partials_dir = os.path.join(out_dir, "postings")
     if not man.phase_done("postings"):
         d = man.phase_dir("postings")
         hot_ref = ray.put(frozenset(stats["hot_terms"]))
         conc = tokenizer_concurrency or max(2, min(16, cpus - 2))
-        toks = rd.read_parquet(
+        runs = rd.read_parquet(
             ids_dir, columns=["doc_id", "lang", "path", "content", "doc_len"]
         ).map_batches(
             Tokenizer,
@@ -271,33 +237,41 @@ def build_index(
                 "num_salts": num_salts,
                 "avgdl": stats["avgdl"],
                 "langs": langs,
+                "emit_runs": True,
+                "num_parts": num_parts,
             },
             batch_format="pyarrow",
             batch_size=1024,
             concurrency=conc,
             num_cpus=1,
         )
-        toks.groupby(["term", "salt"]).map_groups(
-            _encode_partial, batch_format="pyarrow"
+        runs.groupby("part").map_groups(
+            make_level1_merge(num_shards), batch_format="pyarrow"
         ).write_parquet(d)
         man.mark_done("postings", elapsed=time.time() - t0)
     result.phase_times["postings"] = time.time() - t0
 
     # ------------------------------------------------ phase merge/segments
+    # Level-2: one row per (term, salt) in, one final segment row per
+    # term out; partition key mpart = hash(term) % num_shards doubles as
+    # the segment layout key.
     t0 = time.time()
     if not man.phase_done("segments"):
         d = man.phase_dir("segments")
         (
             rd.read_parquet(partials_dir)
-            .groupby("term")
+            .groupby("mpart")
             .map_groups(
-                _make_merge_fn(stats["n_docs"], stats["avgdl"], block_size, num_shards),
+                make_final_merge(stats["n_docs"], stats["avgdl"], block_size),
                 batch_format="pyarrow",
             )
             .write_parquet(d)
         )
         man.mark_done("segments", elapsed=time.time() - t0)
     result.phase_times["merge"] = time.time() - t0
+    stats["vocab_size"] = _segment_row_count(os.path.join(out_dir, "segments"))
+    with open(stats_path, "w") as f:
+        json.dump(stats, f)
 
     # ------------------------------------------------------- phase docmeta
     t0 = time.time()

@@ -17,12 +17,14 @@ _SHIFTS = (np.arange(10, dtype=np.uint64) * np.uint64(7))  # 10*7 >= 64 bits
 _THRESHOLDS = (np.uint64(1) << (_SHIFTS[1:])).astype(np.uint64)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a non-negative int array (vectorized)."""
+def varint_encode_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a non-negative int array (vectorized); also return
+    the encoded byte count per value so callers can split the stream
+    into per-segment buffers without re-encoding (multi-term batches)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # bytes needed per value: 1 + count of thresholds <= v
     nbytes = np.ones(n, dtype=np.int64)
     for t in _THRESHOLDS:
@@ -32,7 +34,60 @@ def varint_encode(values: np.ndarray) -> bytes:
     keep = pos < nbytes[:, None]
     cont = pos < (nbytes - 1)[:, None]
     groups = np.where(cont, groups | np.uint8(0x80), groups)
-    return groups[keep].tobytes()
+    return groups[keep].tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array (vectorized)."""
+    return varint_encode_sizes(values)[0]
+
+
+def split_stream(
+    buf: bytes, nbytes: np.ndarray, starts: np.ndarray
+) -> list[bytes]:
+    """Slice one encoded stream into per-segment buffers.
+
+    ``starts`` are segment start indices into the *value* array (first
+    must be 0); segment i covers values [starts[i], starts[i+1]).
+    """
+    byte_off = np.zeros(len(nbytes) + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=byte_off[1:])
+    bounds = np.append(starts, len(nbytes))
+    return [
+        buf[byte_off[bounds[i]] : byte_off[bounds[i + 1]]]
+        for i in range(len(starts))
+    ]
+
+
+def segmented_delta_encode(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """First-order deltas with a reset (absolute value) at each segment
+    start; validates strict increase within every segment."""
+    d = np.ascontiguousarray(values, dtype=np.int64)
+    if len(d) == 0:
+        return d
+    deltas = np.empty_like(d)
+    deltas[0] = d[0]
+    np.subtract(d[1:], d[:-1], out=deltas[1:])
+    deltas[starts] = d[starts]
+    interior = np.ones(len(d), dtype=bool)
+    interior[starts] = False
+    if np.any(deltas[interior] <= 0):
+        raise ValueError("doc_ids must be strictly increasing within segments")
+    return deltas
+
+
+def segmented_cumsum(deltas: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Inverse of segmented_delta_encode (vectorized)."""
+    d = np.ascontiguousarray(deltas, dtype=np.int64)
+    if len(d) == 0:
+        return d
+    out = np.cumsum(d)
+    seg_id = np.zeros(len(d), dtype=np.int64)
+    seg_id[starts[1:]] = 1
+    np.cumsum(seg_id, out=seg_id)
+    corr = np.zeros(len(starts), dtype=np.int64)
+    corr[1:] = out[starts[1:] - 1]
+    return out - corr[seg_id]
 
 
 def varint_decode(buf: bytes | memoryview, out_dtype=np.int64) -> np.ndarray:

@@ -74,11 +74,38 @@ SEGMENT_SCHEMA = pa.schema(
     ]
 )
 
-# Intermediate (term, salt) partial posting produced by phase "invert".
+# Per-batch posting run emitted by the tokenizer (emit_runs=True): one
+# row per term present in the batch, streams already delta+varint
+# encoded. The shuffle that follows moves these compressed runs — not
+# one row per (term, doc) — which is what keeps the all-to-all exchange
+# ~10x smaller than the exploded token stream at 100 TB scale.
+#   part    = level-1 shuffle partition: hash(term, salt) % num_parts
+#   min_doc = first doc_id of the run (merge-order key; batch doc
+#             ranges are disjoint, so ordering runs by min_doc makes the
+#             per-group concatenation already globally sorted)
+RUN_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("salt", pa.int64()),
+        ("part", pa.int64()),
+        ("min_doc", pa.int64()),
+        ("df", pa.int64()),
+        ("postings", pa.binary()),
+        ("tfs", pa.binary()),
+        ("dls", pa.binary()),
+        ("bitsv", pa.binary()),
+    ]
+)
+
+# Level-1 merge output: one row per (term, salt) partial posting.
+# mpart = hash(term) % num_shards is the level-2 shuffle partition (and
+# becomes the final segment `shard`).
 PARTIAL_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
         ("salt", pa.int64()),
+        ("mpart", pa.int64()),
+        ("min_doc", pa.int64()),
         ("df", pa.int64()),
         ("postings", pa.binary()),
         ("tfs", pa.binary()),

@@ -21,13 +21,17 @@ def idf(df: float, n_docs: int) -> float:
 
 
 def bm25_contrib(
-    tf: np.ndarray, dl: np.ndarray, df: int, n_docs: int, avgdl: float
+    tf: np.ndarray, dl: np.ndarray, df, n_docs: int, avgdl: float
 ) -> np.ndarray:
-    """Exact per-posting BM25 contribution of one term (vectorized)."""
+    """Exact per-posting BM25 contribution (vectorized). ``df`` may be a
+    scalar (one term) or a per-posting array (multi-term batches in the
+    merge phase) — elementwise math is bit-identical either way."""
     tf = np.asarray(tf, dtype=np.float64)
     dl = np.asarray(dl, dtype=np.float64)
+    df_v = np.asarray(df, dtype=np.float64)
+    idf_v = np.log((n_docs - df_v + 0.5) / (df_v + 0.5) + 1.0)
     denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
-    return idf(df, n_docs) * tf * (BM25_K1 + 1.0) / denom
+    return idf_v * tf * (BM25_K1 + 1.0) / denom
 
 
 def compute_bits(

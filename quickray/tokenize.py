@@ -69,6 +69,8 @@ class Tokenizer:
         num_salts: int = 1,
         avgdl: float = 1.0,
         langs: list[str] | None = None,
+        emit_runs: bool = False,
+        num_parts: int = 64,
     ) -> None:
         import ray
 
@@ -83,8 +85,11 @@ class Tokenizer:
         self.num_salts = max(1, num_salts)
         self.avgdl = avgdl
         self.langs = langs or []
+        self.emit_runs = emit_runs
+        self.num_parts = max(1, num_parts)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _grouped(self, batch: pa.Table):
+        """(term, doc_id) -> tf within the batch + per-posting dl/bits."""
         from quickray.scoring import compute_bits
 
         flat, parents = flatten_tokens(batch["content"])
@@ -110,6 +115,12 @@ class Tokenizer:
         )
         dl = np.asarray(batch["doc_len"], dtype=np.int64)[pos]
         bits = batch_bits[pos]
+        return grouped, gdoc, dl, bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grouped, gdoc, dl, bits = self._grouped(batch)
+        if self.emit_runs:
+            return self._encode_runs(grouped, gdoc, dl, bits)
         terms = grouped["term"].to_pylist()
         is_hot = np.fromiter(
             (t in self.hot for t in terms), dtype=bool, count=len(terms)
@@ -126,6 +137,68 @@ class Tokenizer:
                 "bits": pa.array(bits),
                 "salt": pa.array(salt),
             }
+        )
+
+    def _encode_runs(self, grouped, gdoc, dl, bits) -> pa.Table:
+        """One compressed posting run per term present in the batch
+        (RUN_SCHEMA) — the shuffle-volume combiner (SURVEY §7.4)."""
+        from quickray.codec import (
+            segmented_delta_encode,
+            split_stream,
+            varint_encode_sizes,
+        )
+        from quickray.schema import RUN_SCHEMA
+        from quickray.util import stable_hash_str
+
+        if grouped.num_rows == 0:
+            return RUN_SCHEMA.empty_table()
+        tcol = grouped["term"]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        dic = tcol.dictionary_encode()
+        codes = np.asarray(dic.indices, dtype=np.int64)
+        vocab = dic.dictionary.to_pylist()
+        tf = np.asarray(grouped["count_all"], dtype=np.int64)
+
+        order = np.lexsort((gdoc, codes))
+        codes_s, doc_s = codes[order], gdoc[order]
+        tf_s, dl_s, bits_s = tf[order], dl[order], bits[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(codes_s)) + 1)
+        ).astype(np.int64)
+        run_terms = [vocab[c] for c in codes_s[starts]]
+        df_run = np.diff(np.append(starts, len(doc_s)))
+        min_doc = doc_s[starts]
+        n_runs = len(starts)
+
+        is_hot = np.fromiter(
+            (t in self.hot for t in run_terms), dtype=bool, count=n_runs
+        )
+        salt = np.where(
+            is_hot, min_doc * self.num_salts // self.n_docs, 0
+        ).astype(np.int64)
+        th = np.fromiter(
+            (stable_hash_str(t) for t in run_terms), dtype=np.int64, count=n_runs
+        )
+        part = (th + salt * np.int64(0x9E3779B1)) % self.num_parts
+
+        pbuf, pnb = varint_encode_sizes(segmented_delta_encode(doc_s, starts))
+        tbuf, tnb = varint_encode_sizes(tf_s)
+        dbuf, dnb = varint_encode_sizes(dl_s)
+        bbuf, bnb = varint_encode_sizes(bits_s)
+        return pa.table(
+            {
+                "term": pa.array(run_terms, pa.string()),
+                "salt": pa.array(salt),
+                "part": pa.array(part),
+                "min_doc": pa.array(min_doc),
+                "df": pa.array(df_run),
+                "postings": pa.array(split_stream(pbuf, pnb, starts), pa.binary()),
+                "tfs": pa.array(split_stream(tbuf, tnb, starts), pa.binary()),
+                "dls": pa.array(split_stream(dbuf, dnb, starts), pa.binary()),
+                "bitsv": pa.array(split_stream(bbuf, bnb, starts), pa.binary()),
+            },
+            schema=RUN_SCHEMA,
         )
 
 

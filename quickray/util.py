@@ -2,7 +2,17 @@
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
+
+
+def stable_hash_str(s: str) -> int:
+    """Process-stable non-negative hash of a string (crc32) — the
+    partitioning hash (farmhash analog, build_index.go:51). Any stable
+    hash works; Python's builtin hash() is salted per process and must
+    never be used as a shuffle key."""
+    return zlib.crc32(s.encode())
 
 
 def round_sql(x, d: int):
