@@ -2,18 +2,29 @@
 
 Phases (each a checkpointed Dataset pipeline, see checkpoint.Manifest):
 
-  corpus_ids  read corpus -> deterministic doc_id -> +sha256 +doc_len
-  stats       N / total_tokens / avgdl (aggregate) + hot-term detection
-              (sampled per-batch partial df -> groupby sum -> threshold)
-  postings    actor-pool tokenizer -> compressed per-batch posting RUNS
-              (one row per term per batch, delta+varint streams)
-              -> groupby(part = hash(term, salt) % num_parts)
-              -> vectorized partition merge -> (term, salt) partials
-  merge       groupby(mpart = hash(term) % num_shards) over partials ->
-              vectorized partition merge + BM25 block-max metadata ->
-              final posting segments
-  docmeta     forward-index analog (doc_id, repo, path, commit, lang,
-              sha256, doc_len, bits)
+  docids    KEY columns only (pruned read) -> rank-ordered key array
+            (docids.rank_keys) -> small parquet artifact; broadcast via
+            ray.put so every later stage stamps doc_id with a local C++
+            hash probe. Content never shuffles for id assignment.
+  docbase   one content pass: doc_id + sha256(content) + doc_len ->
+            (doc_id, repo, path, commit, lang, sha256, doc_len) table.
+            The corpus itself is NOT rewritten (no storage x2, no
+            content re-read for later metadata phases).
+  stats     n_docs / total_tokens / avgdl from docbase columns (tiny
+            columnar agg) + hot-term detection over a deterministic row
+            sample of the corpus (the hot set only steers level-1
+            partitioning, never output).
+  docmeta   docbase + bits(lang, path, doc_len > avgdl) — the forward
+            index (J1 analog); no content involved.
+  postings  content pass two: actor-pool tokenizer emits compressed
+            per-batch posting RUNS (term, salt, part, min_doc, df,
+            delta+varint doc_ids, varint tfs) -> groupby(part =
+            hash(term, salt) % num_parts) -> vectorized partition merge
+            -> one partial posting per (term, salt).
+  segments  groupby(mpart = hash(term) % num_shards) over partials ->
+            vectorized partition merge; per-posting dl/bits looked up
+            from a broadcast doc_id-indexed array (never shuffled);
+            BM25 block-max metadata -> final posting segments.
 
 Skew: hot terms (df > hot_df) are salted with contiguous doc_id-range
 salts (salt = run_min_doc * S // N), spreading a hot term's runs over S
@@ -21,11 +32,12 @@ level-1 partitions so the largest shuffle partition stays bounded; the
 merge phases re-sort decoded values by (group, doc_id), so correctness
 never depends on run arrival order (SURVEY §7.4; merge.py).
 
-Scale notes: every stage is a streaming map_batches / groupby over
-Arrow; nothing materializes the corpus on the driver. The corpus_ids
-checkpoint re-writes content once (storage x2) to make every later
-phase resumable without re-running the doc_id sort; at 10^12-file scale
-that is the intended durability/compute tradeoff.
+Scale notes: the only all-to-all exchanges are the two run shuffles,
+both over varint-compressed payloads pre-aggregated per batch; reads
+prune columns; small sides (hot set, rank table, dl/bits) are ray.put
+broadcasts. The rank table bounds one build partition to ~10^8 docs
+(docids.py); a 10^12-file corpus runs as many independent key-range
+build partitions with doc_id offsets from a driver-side prefix sum.
 """
 
 from __future__ import annotations
@@ -39,39 +51,27 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from quickray.checkpoint import Manifest
-from quickray.docids import assign_doc_ids
 from quickray.merge import make_final_merge, make_level1_merge
 from quickray.schema import BLOCK_SIZE, LANGS
-from quickray.tokenize import Tokenizer, flatten_tokens
+from quickray.tokenize import Tokenizer, flatten_tokens, rank_lookup
 
 
 def _segment_row_count(seg_dir: str) -> int:
     """Vocab size from parquet footers only (no data read)."""
     import glob
 
-    import pyarrow.parquet as pq
-
     return sum(
         pq.read_metadata(f).num_rows
         for f in glob.glob(os.path.join(seg_dir, "*.parquet"))
     )
-
-
-def _sha256_col(t: pa.Table) -> pa.Table:
-    digests = [hashlib.sha256(s.encode()).hexdigest() for s in t["content"].to_pylist()]
-    return t.append_column("sha256", pa.array(digests, pa.string()))
-
-
-def _doc_len_col(t: pa.Table) -> pa.Table:
-    from quickray.tokenize import doc_lengths
-
-    return t.append_column("doc_len", pa.array(doc_lengths(t["content"], t.num_rows)))
 
 
 def _partial_df(t: pa.Table) -> pa.Table:
@@ -82,6 +82,36 @@ def _partial_df(t: pa.Table) -> pa.Table:
     pairs = pa.table({"term": flat, "d": parents}).group_by(["term", "d"]).aggregate([])
     out = pairs.group_by("term").aggregate([([], "count_all")])
     return pa.table({"term": out["term"], "partial_df": out["count_all"]})
+
+
+def _make_docbase_fn(rank_ref, id_col_present: bool):
+    def to_docbase(t: pa.Table) -> pa.Table:
+        from quickray.tokenize import doc_lengths
+
+        if id_col_present:
+            doc_id = t["doc_id"]
+            if isinstance(doc_id, pa.ChunkedArray):
+                doc_id = doc_id.combine_chunks()
+        else:
+            keys = ray.get(rank_ref)
+            doc_id = rank_lookup(t, keys)
+        digests = [
+            hashlib.sha256(s.encode()).hexdigest()
+            for s in t["content"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": doc_id,
+                "repo": t["repo"],
+                "path": t["path"],
+                "commit": t["commit"],
+                "lang": t["lang"],
+                "sha256": pa.array(digests, pa.string()),
+                "doc_len": pa.array(doc_lengths(t["content"], t.num_rows)),
+            }
+        )
+
+    return to_docbase
 
 
 @dataclass
@@ -99,13 +129,68 @@ class BuildResult:
         return os.path.join(self.out_dir, "docmeta")
 
 
-def _load_source(source) -> tuple["rd.Dataset", str]:
-    if isinstance(source, str):
-        return rd.read_parquet(source), f"path:{source}"
-    if isinstance(source, pa.Table):
-        fp = f"table:rows={source.num_rows}:schema={source.schema.names}"
-        return rd.from_arrow(source), fp
-    return source, f"dataset:{source.schema().names}"
+class _Source:
+    """Uniform column-pruned reader over the three accepted source
+    forms (parquet path, pyarrow Table, ray Dataset)."""
+
+    def __init__(self, source):
+        self.raw = source
+        if isinstance(source, str):
+            self.fingerprint = f"path:{source}"
+        elif isinstance(source, pa.Table):
+            self.fingerprint = (
+                f"table:rows={source.num_rows}:schema={source.schema.names}"
+            )
+        else:
+            self.fingerprint = f"dataset:{source.schema().names}"
+
+    def read(self, cols: list[str]) -> "rd.Dataset":
+        if isinstance(self.raw, str):
+            return rd.read_parquet(self.raw, columns=cols)
+        if isinstance(self.raw, pa.Table):
+            return rd.from_arrow(self.raw.select(cols))
+        return self.raw.select_columns(cols)
+
+    def keys_table(self) -> pa.Table:
+        """Driver-side (repo, path) key table — pruned read, ~1-2% of
+        corpus bytes."""
+        if isinstance(self.raw, str):
+            return pads.dataset(self.raw, format="parquet").to_table(
+                columns=["repo", "path"]
+            )
+        if isinstance(self.raw, pa.Table):
+            return self.raw.select(["repo", "path"])
+        refs = self.raw.select_columns(["repo", "path"]).to_arrow_refs()
+        return pa.concat_tables(ray.get(refs))
+
+    def sample_content(self, mod: int) -> tuple["rd.Dataset", float]:
+        """~1/mod deterministic sample of the content column and the
+        actual inverse sampling fraction. For multi-file parquet sources
+        the sample is file-stride (only 1/mod of files is even READ —
+        the prune-at-the-read version of row sampling); otherwise
+        row-stride within batches."""
+        if mod <= 1:
+            return self.read(["content"]), 1.0
+        if isinstance(self.raw, str):
+            import glob
+
+            pat = (
+                os.path.join(self.raw, "*.parquet")
+                if os.path.isdir(self.raw)
+                else self.raw
+            )
+            files = sorted(glob.glob(pat))
+            if len(files) >= 2 * mod:
+                picked = files[::mod]
+                return (
+                    rd.read_parquet(picked, columns=["content"]),
+                    len(files) / len(picked),
+                )
+        ds = self.read(["content"]).map_batches(
+            lambda t: t.take(np.arange(0, t.num_rows, mod)),
+            batch_format="pyarrow",
+        )
+        return ds, float(mod)
 
 
 def build_index(
@@ -124,36 +209,60 @@ def build_index(
     """Run (or resume) the full index build. Ray must be initialised by
     the caller (never calls ray.init itself)."""
     langs = langs or LANGS
-    ds, fingerprint = _load_source(source)
-    man = Manifest(out_dir, fingerprint)
+    src = _Source(source)
+    man = Manifest(out_dir, src.fingerprint)
     result = BuildResult(out_dir=out_dir)
     cpus = int(ray.cluster_resources().get("CPU", 8))
+    use_rank = id_col is None
 
-    # ---------------------------------------------------- phase corpus_ids
+    # ------------------------------------------------------- phase docids
     t0 = time.time()
-    ids_dir = os.path.join(out_dir, "corpus_ids")
-    if not man.phase_done("corpus_ids"):
-        d = man.phase_dir("corpus_ids")
-        if id_col is None:
-            with_ids = assign_doc_ids(ds)
-        else:
-            with_ids = ds
-            if id_col != "doc_id":
-                with_ids = with_ids.rename_columns({id_col: "doc_id"})
-        with_ids = with_ids.map_batches(
-            _sha256_col, batch_format="pyarrow"
-        ).map_batches(_doc_len_col, batch_format="pyarrow")
-        with_ids.write_parquet(d)
-        man.mark_done("corpus_ids", elapsed=time.time() - t0,
+    keys_path = os.path.join(out_dir, "docids", "keys.parquet")
+    rank_ref = None
+    if use_rank:
+        if not man.phase_done("docids"):
+            d = man.phase_dir("docids")
+            from quickray.docids import rank_keys
+
+            ranked = rank_keys(src.keys_table())
+            pq.write_table(pa.table({"key": ranked}), keys_path)
+            man.mark_done("docids", elapsed=time.time() - t0,
+                          counters={"n_docs": len(ranked)})
+        ranked = pq.read_table(keys_path)["key"].combine_chunks()
+        rank_ref = ray.put(ranked)
+        n_docs_expected = len(ranked)
+    else:
+        if not man.phase_done("docids"):
+            man.phase_dir("docids")
+            man.mark_done("docids", with_files=False, elapsed=time.time() - t0,
+                          counters={"id_mode": f"column:{id_col}"})
+        n_docs_expected = None
+    result.phase_times["docids"] = time.time() - t0
+
+    # ------------------------------------------------------ phase docbase
+    t0 = time.time()
+    docbase_dir = os.path.join(out_dir, "docbase")
+    base_cols = ["repo", "path", "commit", "lang", "content"]
+    if not use_rank:
+        base_cols = [id_col] + base_cols
+    if not man.phase_done("docbase"):
+        d = man.phase_dir("docbase")
+        ds = src.read(base_cols)
+        if not use_rank and id_col != "doc_id":
+            ds = ds.rename_columns({id_col: "doc_id"})
+        ds.map_batches(
+            _make_docbase_fn(rank_ref, not use_rank), batch_format="pyarrow"
+        ).write_parquet(d)
+        man.mark_done("docbase", elapsed=time.time() - t0,
                       counters={"id_mode": id_col or "rank(repo,path)"})
-    result.phase_times["corpus_ids"] = time.time() - t0
+    result.phase_times["docbase"] = time.time() - t0
 
     # --------------------------------------------------------- phase stats
     t0 = time.time()
     stats_path = os.path.join(out_dir, "stats", "stats.json")
     if not man.phase_done("stats"):
         d = man.phase_dir("stats")
-        lens = rd.read_parquet(ids_dir, columns=["doc_id", "doc_len"])
+        lens = rd.read_parquet(docbase_dir, columns=["doc_id", "doc_len"])
         agg = lens.aggregate(
             Count(), Sum("doc_len", alias_name="total_tokens"),
             Min("doc_id", alias_name="min_id"), Max("doc_id", alias_name="max_id"),
@@ -165,30 +274,26 @@ def build_index(
                 f"doc_ids must be dense 0..N-1 (got min={agg['min_id']} "
                 f"max={agg['max_id']} n={n_docs}); pass id_col=None to rank-assign"
             )
+        if n_docs_expected is not None and n_docs != n_docs_expected:
+            raise ValueError(
+                f"docbase rows ({n_docs}) != rank table size ({n_docs_expected})"
+            )
         avgdl = total_tokens / max(1, n_docs)
         threshold = hot_df if hot_df is not None else max(256, n_docs // 8)
-        # Hot-term detection runs on a deterministic 1/16 doc sample once
+        # Hot-term detection on a deterministic 1-in-16 row sample once
         # the corpus is big enough — the hot set only steers level-1
         # partitioning (salting), never final index content, so sampling
         # cannot change the output. Saves a full tokenize pass at scale.
         sample_mod = 1 if n_docs <= 20_000 else 16
-        src = rd.read_parquet(ids_dir, columns=["doc_id", "content"])
-        if sample_mod > 1:
-            import pyarrow.compute as _pc
-
-            src = src.map_batches(
-                lambda t: t.filter(
-                    _pc.equal(_pc.bit_wise_and(t["doc_id"], sample_mod - 1), 0)
-                ),
-                batch_format="pyarrow",
-            )
+        sample, inv_frac = src.sample_content(sample_mod)
+        sampled_threshold = int(threshold / inv_frac)
         hot_rows = (
-            src.map_batches(_partial_df, batch_format="pyarrow")
+            sample.map_batches(_partial_df, batch_format="pyarrow")
             .groupby("term")
             .aggregate(Sum("partial_df", alias_name="df"))
             .map_batches(
                 lambda t: t.filter(
-                    np.asarray(t["df"]) > threshold // sample_mod
+                    np.asarray(t["df"]) > sampled_threshold
                 ),
                 batch_format="pyarrow",
             )
@@ -215,66 +320,9 @@ def build_index(
     result.stats = stats
     result.phase_times["stats"] = time.time() - t0
 
-    # ------------------------------------------------------ phase postings
-    # Tokenizer actors emit compressed per-batch posting runs; the
-    # level-1 shuffle groups them by part = hash(term, salt) % num_parts
-    # and each map_groups call merges a whole partition vectorized
-    # (merge.py). Shuffle payload = varint runs, ~10x smaller than the
-    # exploded (term, doc, tf) stream.
-    t0 = time.time()
-    partials_dir = os.path.join(out_dir, "postings")
-    if not man.phase_done("postings"):
-        d = man.phase_dir("postings")
-        hot_ref = ray.put(frozenset(stats["hot_terms"]))
-        conc = tokenizer_concurrency or max(2, min(16, cpus - 2))
-        runs = rd.read_parquet(
-            ids_dir, columns=["doc_id", "lang", "path", "content", "doc_len"]
-        ).map_batches(
-            Tokenizer,
-            fn_constructor_kwargs={
-                "hot_ref": hot_ref,
-                "n_docs": stats["n_docs"],
-                "num_salts": num_salts,
-                "avgdl": stats["avgdl"],
-                "langs": langs,
-                "emit_runs": True,
-                "num_parts": num_parts,
-            },
-            batch_format="pyarrow",
-            batch_size=1024,
-            concurrency=conc,
-            num_cpus=1,
-        )
-        runs.groupby("part").map_groups(
-            make_level1_merge(num_shards), batch_format="pyarrow"
-        ).write_parquet(d)
-        man.mark_done("postings", elapsed=time.time() - t0)
-    result.phase_times["postings"] = time.time() - t0
-
-    # ------------------------------------------------ phase merge/segments
-    # Level-2: one row per (term, salt) in, one final segment row per
-    # term out; partition key mpart = hash(term) % num_shards doubles as
-    # the segment layout key.
-    t0 = time.time()
-    if not man.phase_done("segments"):
-        d = man.phase_dir("segments")
-        (
-            rd.read_parquet(partials_dir)
-            .groupby("mpart")
-            .map_groups(
-                make_final_merge(stats["n_docs"], stats["avgdl"], block_size),
-                batch_format="pyarrow",
-            )
-            .write_parquet(d)
-        )
-        man.mark_done("segments", elapsed=time.time() - t0)
-    result.phase_times["merge"] = time.time() - t0
-    stats["vocab_size"] = _segment_row_count(os.path.join(out_dir, "segments"))
-    with open(stats_path, "w") as f:
-        json.dump(stats, f)
-
     # ------------------------------------------------------- phase docmeta
     t0 = time.time()
+    docmeta_dir = os.path.join(out_dir, "docmeta")
     if not man.phase_done("docmeta"):
         d = man.phase_dir("docmeta")
         avgdl = stats["avgdl"]
@@ -288,10 +336,91 @@ def build_index(
             )
             return t.append_column("bits", pa.array(bits))
 
-        rd.read_parquet(
-            ids_dir,
-            columns=["doc_id", "repo", "path", "commit", "lang", "sha256", "doc_len"],
-        ).map_batches(add_bits, batch_format="pyarrow").write_parquet(d)
+        rd.read_parquet(docbase_dir).map_batches(
+            add_bits, batch_format="pyarrow"
+        ).write_parquet(d)
         man.mark_done("docmeta", elapsed=time.time() - t0)
     result.phase_times["docmeta"] = time.time() - t0
+
+    # ------------------------------------------------------ phase postings
+    # Tokenizer actors emit compressed per-batch posting runs; the
+    # level-1 shuffle groups them by part = hash(term, salt) % num_parts
+    # and each map_groups call merges a whole partition vectorized
+    # (merge.py). Shuffle payload = varint runs, ~10x smaller than the
+    # exploded (term, doc, tf) stream.
+    t0 = time.time()
+    partials_dir = os.path.join(out_dir, "postings")
+    if not man.phase_done("postings"):
+        d = man.phase_dir("postings")
+        hot_ref = ray.put(frozenset(stats["hot_terms"]))
+        tok_kwargs = {
+            "hot_ref": hot_ref,
+            "n_docs": stats["n_docs"],
+            "num_salts": num_salts,
+            "emit_runs": True,
+            "num_parts": num_parts,
+            "rank_ref": rank_ref,
+        }
+        tok_cols = ["content"] + (["doc_id"] if not use_rank else ["repo", "path"])
+        ds = src.read(tok_cols)
+        if not use_rank and id_col != "doc_id":
+            ds = ds.rename_columns({id_col: "doc_id"})
+        if tokenizer_concurrency:
+            # actor-pool form (state in __init__); reserves its CPUs for
+            # the phase — prefer task mode unless actors are required
+            runs = ds.map_batches(
+                Tokenizer,
+                fn_constructor_kwargs=tok_kwargs,
+                batch_format="pyarrow",
+                batch_size=1024,
+                concurrency=tokenizer_concurrency,
+                num_cpus=1,
+            )
+        else:
+            # task mode: per-worker cached state, dynamic scheduling
+            # shares all CPUs with the overlapping shuffle/merge tasks
+            from quickray.tokenize import make_run_tokenizer
+
+            runs = ds.map_batches(
+                make_run_tokenizer(out_dir, **tok_kwargs),
+                batch_format="pyarrow",
+                batch_size=1024,
+            )
+        runs.groupby("part").map_groups(
+            make_level1_merge(num_shards), batch_format="pyarrow"
+        ).write_parquet(d)
+        man.mark_done("postings", elapsed=time.time() - t0)
+    result.phase_times["postings"] = time.time() - t0
+
+    # ------------------------------------------------ phase merge/segments
+    # Level-2: one row per (term, salt) in, one final segment row per
+    # term out; partition key mpart = hash(term) % num_shards doubles as
+    # the segment layout key. Per-posting dl/bits come from a broadcast
+    # doc_id-indexed array (dense ids), not from the shuffle.
+    t0 = time.time()
+    if not man.phase_done("segments"):
+        d = man.phase_dir("segments")
+        dm = pq.read_table(docmeta_dir, columns=["doc_id", "doc_len", "bits"])
+        order = np.asarray(dm["doc_id"])
+        dl_arr = np.zeros(stats["n_docs"], dtype=np.int64)
+        bits_arr = np.zeros(stats["n_docs"], dtype=np.int64)
+        dl_arr[order] = np.asarray(dm["doc_len"])
+        bits_arr[order] = np.asarray(dm["bits"])
+        dl_bits_ref = ray.put((dl_arr, bits_arr))
+        (
+            rd.read_parquet(partials_dir)
+            .groupby("mpart")
+            .map_groups(
+                make_final_merge(
+                    stats["n_docs"], stats["avgdl"], block_size, dl_bits_ref
+                ),
+                batch_format="pyarrow",
+            )
+            .write_parquet(d)
+        )
+        man.mark_done("segments", elapsed=time.time() - t0)
+    result.phase_times["segments"] = time.time() - t0
+    stats["vocab_size"] = _segment_row_count(os.path.join(out_dir, "segments"))
+    with open(stats_path, "w") as f:
+        json.dump(stats, f)
     return result

@@ -2,15 +2,21 @@
 
 Replaces the reference's per-worker atomic counter (indexer.go:82),
 which makes DocIds depend on worker count and arrival order. Here
-``doc_id`` is the dense rank of ``(repo, path)`` in lexicographic order:
+``doc_id`` is the dense rank of ``(repo, path)`` in lexicographic order.
 
-1. ``ds.sort(["repo", "path"])`` — the one global sort we accept; it is
-   a Ray Data range-partition shuffle and also the step that fixes the
-   partitioning for everything downstream.
-2. one metadata-only pass collects (first_key, row_count) per sorted
-   block — a few bytes per block, folded to per-block offsets by a
-   driver-side prefix sum;
-3. a second vectorized pass stamps ``offset + arange(n)`` per block.
+Primary path (``rank_keys`` + ``tokenize.rank_lookup``): sort only the
+KEY columns — pruned at the read, a few % of corpus bytes — into one
+rank-ordered key array, broadcast it once via ``ray.put``, and stamp
+``doc_id`` inside every downstream batch with a C++ hash probe
+(``pc.index_in``). Content rows never shuffle for id assignment. The
+key array must fit one node's memory (~60 bytes/key ⇒ fine to ~10^8
+docs *per build partition*; a 10^12-file corpus is built as many
+independent key-range partitions, each with a doc_id offset from a
+driver-side prefix sum over partition counts).
+
+Fallback (``assign_doc_ids``): the fully-distributed version — global
+``ds.sort`` + per-block offsets via a metadata-only pass — for a build
+partition whose key set exceeds node memory.
 
 Deterministic at any parallelism ⇒ identical indexes (and therefore
 rank-identical query results) at N and 4N workers.
@@ -20,8 +26,28 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
+
+
+def rank_keys(keys: pa.Table) -> pa.Array:
+    """Rank-ordered key array: element i is the `repo\\x01path` key of
+    doc_id i. Raises on duplicate (repo, path)."""
+    r, p = keys["repo"], keys["path"]
+    if isinstance(r, pa.ChunkedArray):
+        r = r.combine_chunks()
+    if isinstance(p, pa.ChunkedArray):
+        p = p.combine_chunks()
+    joined = pc.binary_join_element_wise(r, p, "\x01")
+    srt = joined.take(pc.array_sort_indices(joined))
+    if len(srt) > 1:
+        neighbors_equal = pc.any(
+            pc.equal(srt.slice(1), srt.slice(0, len(srt) - 1))
+        ).as_py()
+        if neighbors_equal:
+            raise ValueError("duplicate (repo, path) keys; doc_ids must be unique")
+    return srt
 
 
 def assign_doc_ids(ds: "ray.data.Dataset") -> "ray.data.Dataset":

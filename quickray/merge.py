@@ -1,22 +1,25 @@
 """Partition-level posting-run merge (vectorized, both shuffle levels).
 
 The build shuffles *compressed posting runs* (RUN_SCHEMA — one row per
-term per tokenizer batch), not exploded (term, doc) rows, and both merge
-levels group by a hash partition id rather than by term:
+term per tokenizer batch, doc_ids delta+varint, tfs varint), not
+exploded (term, doc) rows, and both merge levels group by a hash
+partition id rather than by term:
 
   level 1  groupby("part")  — part = hash(term, salt) % num_parts —
            merges each (term, salt) run-set into one partial posting;
   level 2  groupby("mpart") — mpart = hash(term) % num_shards — concats
-           each term's ≤ num_salts partials into the final segment row
-           with BM25 block-max metadata.
+           each term's ≤ num_salts partials into the final segment row,
+           reconstructs per-posting (doc_len, bits) from a broadcast
+           doc_id-indexed array (doc_ids are dense 0..N-1, so lookup is
+           a numpy take from a plasma-shared array — those streams are
+           never shuffled), and computes BM25 block-max metadata.
 
-One ``map_groups`` call therefore processes a whole partition (hundreds
-to thousands of terms) with fully-vectorized decode → lexsort →
-re-encode over the partition's concatenated streams; per-term Python
-overhead is gone, which is the difference between ~100 and ~10k docs/sec
-per core on the merge phases. Salting (tokenize.py) spreads hot-term
-runs across level-1 partitions, so the largest partition stays bounded —
-the explicit skew defense the reference lacks (SURVEY §4, §7.4).
+One ``map_groups`` call processes a whole partition (hundreds to
+thousands of terms) with fully-vectorized decode → lexsort → re-encode
+over the partition's concatenated streams; per-term Python overhead is
+gone. Salting (tokenize.py) spreads hot-term runs across level-1
+partitions, bounding the largest partition — the explicit skew defense
+the reference lacks (SURVEY §4, §7.4).
 
 Correctness does not assume runs arrive in doc order: values are always
 re-sorted by (group, doc_id) after decode, and segmented_delta_encode
@@ -46,8 +49,6 @@ from quickray.util import stable_hash_str
 class _Merged:
     docs: np.ndarray
     tfs: np.ndarray
-    dls: np.ndarray
-    bits: np.ndarray
     g_val_starts: np.ndarray  # per-group start index into the value arrays
     g_val_lens: np.ndarray
     terms: list[str]  # one per group
@@ -57,8 +58,8 @@ class _Merged:
 
 def _concat_decode_sort(t: pa.Table, group_by_salt: bool) -> _Merged:
     """Decode a whole partition of runs and regroup: order rows by
-    (term[, salt], min_doc), concat + decode the four streams once,
-    then stable-sort values by (group, doc_id)."""
+    (term[, salt], min_doc), concat + decode both streams once, then
+    stable-sort values by (group, doc_id)."""
     tcol = t["term"]
     if isinstance(tcol, pa.ChunkedArray):
         tcol = tcol.combine_chunks()
@@ -70,11 +71,10 @@ def _concat_decode_sort(t: pa.Table, group_by_salt: bool) -> _Merged:
     df = np.asarray(t["df"], dtype=np.int64)
 
     row_order = np.lexsort((min_doc, salt, tcodes))
-    bufs = {c: t[c].to_pylist() for c in ("postings", "tfs", "dls", "bitsv")}
-    pbuf = b"".join(bufs["postings"][i] for i in row_order)
-    tbuf = b"".join(bufs["tfs"][i] for i in row_order)
-    dbuf = b"".join(bufs["dls"][i] for i in row_order)
-    bbuf = b"".join(bufs["bitsv"][i] for i in row_order)
+    plist = t["postings"].to_pylist()
+    tlist = t["tfs"].to_pylist()
+    pbuf = b"".join(plist[i] for i in row_order)
+    tbuf = b"".join(tlist[i] for i in row_order)
 
     df_o = df[row_order]
     n_rows = len(df_o)
@@ -82,8 +82,6 @@ def _concat_decode_sort(t: pa.Table, group_by_salt: bool) -> _Merged:
     np.cumsum(df_o[:-1], out=val_starts[1:])
     docs = segmented_cumsum(varint_decode(pbuf), val_starts)
     tfs = varint_decode(tbuf)
-    dls = varint_decode(dbuf)
-    bits = varint_decode(bbuf)
 
     tc_o = tcodes[row_order]
     salt_o = salt[row_order]
@@ -96,34 +94,17 @@ def _concat_decode_sort(t: pa.Table, group_by_salt: bool) -> _Merged:
 
     gid = np.repeat(np.arange(len(g_row_starts)), g_val_lens)
     perm = np.lexsort((docs, gid))
-    ident = np.arange(len(docs))
-    if not np.array_equal(perm, ident):  # runs usually pre-ordered
-        docs, tfs, dls, bits = docs[perm], tfs[perm], dls[perm], bits[perm]
+    if not np.array_equal(perm, np.arange(len(docs))):  # runs usually pre-ordered
+        docs, tfs = docs[perm], tfs[perm]
     return _Merged(
         docs=docs,
         tfs=tfs,
-        dls=dls,
-        bits=bits,
         g_val_starts=g_val_starts,
         g_val_lens=g_val_lens,
         terms=[vocab[c] for c in tc_o[g_row_starts]],
         salts=salt_o[g_row_starts],
         min_docs=docs[g_val_starts] if len(docs) else np.empty(0, np.int64),
     )
-
-
-def _encode_groups(m: _Merged) -> dict[str, list[bytes]]:
-    starts = m.g_val_starts
-    pbuf, pnb = varint_encode_sizes(segmented_delta_encode(m.docs, starts))
-    tbuf, tnb = varint_encode_sizes(m.tfs)
-    dbuf, dnb = varint_encode_sizes(m.dls)
-    bbuf, bnb = varint_encode_sizes(m.bits)
-    return {
-        "postings": split_stream(pbuf, pnb, starts),
-        "tfs": split_stream(tbuf, tnb, starts),
-        "dls": split_stream(dbuf, dnb, starts),
-        "bitsv": split_stream(bbuf, bnb, starts),
-    }
 
 
 def make_level1_merge(num_shards: int):
@@ -133,7 +114,9 @@ def make_level1_merge(num_shards: int):
         if t.num_rows == 0:
             return PARTIAL_SCHEMA.empty_table()
         m = _concat_decode_sort(t, group_by_salt=True)
-        enc = _encode_groups(m)
+        starts = m.g_val_starts
+        pbuf, pnb = varint_encode_sizes(segmented_delta_encode(m.docs, starts))
+        tbuf, tnb = varint_encode_sizes(m.tfs)
         mpart = np.fromiter(
             (stable_hash_str(term) % num_shards for term in m.terms),
             dtype=np.int64,
@@ -146,10 +129,8 @@ def make_level1_merge(num_shards: int):
                 "mpart": pa.array(mpart),
                 "min_doc": pa.array(m.min_docs),
                 "df": pa.array(m.g_val_lens),
-                "postings": pa.array(enc["postings"], pa.binary()),
-                "tfs": pa.array(enc["tfs"], pa.binary()),
-                "dls": pa.array(enc["dls"], pa.binary()),
-                "bitsv": pa.array(enc["bitsv"], pa.binary()),
+                "postings": pa.array(split_stream(pbuf, pnb, starts), pa.binary()),
+                "tfs": pa.array(split_stream(tbuf, tnb, starts), pa.binary()),
             },
             schema=PARTIAL_SCHEMA,
         )
@@ -157,22 +138,37 @@ def make_level1_merge(num_shards: int):
     return merge_partition
 
 
-def make_final_merge(n_docs: int, avgdl: float, block_size: int):
-    """groupby("mpart") finalizer: partials -> final segment rows with
-    exact per-posting BM25 contributions folded into block-max metadata."""
+def make_final_merge(n_docs: int, avgdl: float, block_size: int, dl_bits_ref):
+    """groupby("mpart") finalizer: partials -> final segment rows.
+
+    ``dl_bits_ref`` is a ray.put ObjectRef of (doc_len, bits) int64
+    arrays indexed by doc_id — the broadcast-small-side pattern: fetched
+    once per task from the local plasma store (zero-copy), never
+    re-shipped through the shuffle.
+    """
 
     def merge_partition(t: pa.Table) -> pa.Table:
+        import ray
+
         from quickray.scoring import bm25_contrib
 
         if t.num_rows == 0:
             return SEGMENT_SCHEMA.empty_table()
+        dl_arr, bits_arr = ray.get(dl_bits_ref)
         m = _concat_decode_sort(t, group_by_salt=False)
-        enc = _encode_groups(m)
+        starts = m.g_val_starts
+        pbuf, pnb = varint_encode_sizes(segmented_delta_encode(m.docs, starts))
+        tbuf, tnb = varint_encode_sizes(m.tfs)
+        dls = dl_arr[m.docs]
+        bits = bits_arr[m.docs]
+        dbuf, dnb = varint_encode_sizes(dls)
+        bbuf, bnb = varint_encode_sizes(bits)
+
         df_per_val = np.repeat(m.g_val_lens, m.g_val_lens)
-        scores = bm25_contrib(m.tfs, m.dls, df_per_val, n_docs, avgdl)
-        ends = m.g_val_starts + m.g_val_lens
+        scores = bm25_contrib(m.tfs, dls, df_per_val, n_docs, avgdl)
+        ends = starts + m.g_val_lens
         block_last, block_max = [], []
-        for s, e in zip(m.g_val_starts, ends):
+        for s, e in zip(starts, ends):
             last, bmax = block_max_metadata(m.docs[s:e], scores[s:e], block_size)
             block_last.append(last)
             block_max.append(bmax)
@@ -182,10 +178,10 @@ def make_final_merge(n_docs: int, avgdl: float, block_size: int):
             {
                 "term": pa.array(m.terms, pa.string()),
                 "df": pa.array(m.g_val_lens),
-                "postings": pa.array(enc["postings"], pa.binary()),
-                "tfs": pa.array(enc["tfs"], pa.binary()),
-                "dls": pa.array(enc["dls"], pa.binary()),
-                "bitsv": pa.array(enc["bitsv"], pa.binary()),
+                "postings": pa.array(split_stream(pbuf, pnb, starts), pa.binary()),
+                "tfs": pa.array(split_stream(tbuf, tnb, starts), pa.binary()),
+                "dls": pa.array(split_stream(dbuf, dnb, starts), pa.binary()),
+                "bitsv": pa.array(split_stream(bbuf, bnb, starts), pa.binary()),
                 "block_last": pa.array(block_last, pa.list_(pa.int64())),
                 "block_max": pa.array(block_max, pa.list_(pa.float64())),
                 "shard": pa.array([shard] * len(m.terms), pa.int64()),

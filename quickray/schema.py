@@ -83,6 +83,10 @@ SEGMENT_SCHEMA = pa.schema(
 #   min_doc = first doc_id of the run (merge-order key; batch doc
 #             ranges are disjoint, so ordering runs by min_doc makes the
 #             per-group concatenation already globally sorted)
+# Runs carry only doc_ids + tfs: per-posting dl/bits streams are NOT
+# shuffled — the final merge reconstructs them from a broadcast
+# doc_id-indexed (doc_len, bits) array (doc_ids are dense 0..N-1), so
+# the exchange moves ~half the bytes it otherwise would.
 RUN_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
@@ -92,8 +96,6 @@ RUN_SCHEMA = pa.schema(
         ("df", pa.int64()),
         ("postings", pa.binary()),
         ("tfs", pa.binary()),
-        ("dls", pa.binary()),
-        ("bitsv", pa.binary()),
     ]
 )
 
@@ -109,7 +111,5 @@ PARTIAL_SCHEMA = pa.schema(
         ("df", pa.int64()),
         ("postings", pa.binary()),
         ("tfs", pa.binary()),
-        ("dls", pa.binary()),
-        ("bitsv", pa.binary()),
     ]
 )

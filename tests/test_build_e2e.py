@@ -40,8 +40,8 @@ def test_docmeta_matches_oracle(built_index, oracle):
 def test_sha256_invariant(built_index, small_corpus):
     """Per-row content sha256 equality vs the input table (north rule)."""
     ids_tbl = pq.read_table(
-        os.path.join(built_index, "corpus_ids"),
-        columns=["repo", "path", "content", "sha256"],
+        os.path.join(built_index, "docmeta"),
+        columns=["repo", "path", "sha256"],
     )
     stored = {
         (r, p): s

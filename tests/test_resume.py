@@ -43,7 +43,7 @@ def test_resume_noop_and_kill_resume(tmp_path):
 
     # manifest records lineage: files + rows per phase
     man = json.load(open(man_path))
-    for phase in ["corpus_ids", "postings", "segments", "docmeta"]:
+    for phase in ["docbase", "docmeta", "postings", "segments"]:
         assert man["phases"][phase]["status"] == "done"
         assert man["phases"][phase]["rows"] > 0
         assert len(man["phases"][phase]["files"]) >= 1
