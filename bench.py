@@ -202,28 +202,37 @@ def scaling_child(corpus_path: str, num_cpus: int, out_json: str) -> None:
 
         warm_path = ensure_corpus_parquet(SCRATCH, 8000)
         _build_corpus_index(warm_path, os.path.join(SCRATCH, "warmidx"))
-        r = _build_corpus_index(
-            corpus_path, os.path.join(SCRATCH, f"scaleidx_{num_cpus}")
-        )
+        # two measured builds in-session; keep the faster (first-touch
+        # page-cache/disk effects land on run 1)
+        runs = [
+            _build_corpus_index(
+                corpus_path, os.path.join(SCRATCH, f"scaleidx_{num_cpus}")
+            )
+            for _ in range(2)
+        ]
+        r = min(runs, key=lambda x: x["sec"])
         r["num_cpus"] = num_cpus
+        r["all_secs"] = [round(x["sec"], 3) for x in runs]
         with open(out_json, "w") as f:
             json.dump(r, f)
     finally:
         ray.shutdown()
 
 
-def run_scaling(n_docs: int, cpus_small: int, cpus_big: int) -> dict:
+def run_scaling(
+    n_docs: int, cpus_small: int, cpus_big: int, attempts: int = 2
+) -> dict:
     """Same job, same input, two parallelism levels, fresh processes."""
     from quickray.corpus import ensure_corpus_parquet
 
     corpus_path = ensure_corpus_parquet(SCRATCH, n_docs)
     results = {}
-    # two attempts per level, keep the faster: fresh-process runs are
-    # noisy (prior session teardown, page cache); best-of-2 approximates
-    # the steady state a long-lived cluster actually runs at
+    # multiple attempts per level, keep the faster: fresh-process runs
+    # are noisy (prior session teardown, page cache); best-of-N
+    # approximates the steady state a long-lived cluster actually runs at
     for c in (cpus_small, cpus_big):
         best = None
-        for _ in range(2):
+        for _ in range(attempts):
             out_json = os.path.join(SCRATCH, f"scaling_{c}.json")
             subprocess.run(
                 [
@@ -276,6 +285,7 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-docs", type=int, default=240000)
     ap.add_argument("--scaling-cpus", default="8,32")
+    ap.add_argument("--scaling-attempts", type=int, default=1)
     ap.add_argument("--scaling-child", action="store_true",
                     help=argparse.SUPPRESS)
     ap.add_argument("--corpus", help=argparse.SUPPRESS)
@@ -287,7 +297,9 @@ def main() -> None:
         return
     if args.scaling:
         small, big = (int(x) for x in args.scaling_cpus.split(","))
-        print(json.dumps(run_scaling(args.scaling_docs, small, big)))
+        print(json.dumps(run_scaling(
+            args.scaling_docs, small, big, attempts=args.scaling_attempts
+        )))
         return
     print(json.dumps(run_bench(args.sf_dir, args.cpus)))
 

@@ -201,8 +201,8 @@ def build_index(
     langs: list[str] | None = None,
     hot_df: int | None = None,
     num_salts: int = 8,
-    num_shards: int = 32,
-    num_parts: int = 64,
+    num_shards: int = 64,
+    num_parts: int = 128,
     tokenizer_concurrency: int | None = None,
     block_size: int = BLOCK_SIZE,
 ) -> BuildResult:
