@@ -124,12 +124,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": P.quality_pipeline,
         "ngram_jaccard": P.ngram_jaccard_pipeline,
         "ann_cosine_topk": P.ann_topk_pipeline,
+        "embedding_near_dup": P.embedding_near_dup_pipeline,
+        # event-stream batch operators
+        "events_window": P.events_window_pipeline,
+        "events_sessions": P.events_sessions_pipeline,
         # non-SQL-expressible (driver records rows-only checks)
         "minhash_near_dup": P.minhash_pairs_pipeline,
         "simhash": P.simhash_pipeline,
+        "doc_fingerprint": P.fingerprint_pipeline,
         "ivf_ann_topk": P.ivf_topk_pipeline,
         "langid": P.langid_pipeline,
         "media_features": P.media_features_pipeline,
+        "video_csv_parse": P.video_csv_parse,
         "reference_queries": P.reference_query_results,
     }
 
@@ -268,5 +274,31 @@ FROM embeddings
 ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 4) DESC,
          vec_id
 LIMIT 10
+""",
+        "embedding_near_dup": """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+""",
+        "events_window": """
+SELECT (epoch_us(ts) // 1000000) // 3600 AS window, event_type,
+       count(*)::BIGINT AS n,
+       round(min(value), 4) AS vmin,
+       round(max(value), 4) AS vmax
+FROM events GROUP BY 1, 2
+""",
+        "events_sessions": """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       (1 + coalesce(sum(CASE WHEN gap > 1800 * 1000000 THEN 1 ELSE 0 END), 0))::BIGINT
+         AS n_sessions
+FROM g GROUP BY user_id
 """,
     }

@@ -75,6 +75,49 @@ def brute_force_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    ds: "rd.Dataset", threshold: float = 0.4, ndigits: int = 4
+) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+    cosine >= threshold. The full normalized matrix is broadcast once
+    (ray.put); each batch computes a block x N matmul against it — the
+    blocked form of the N^2 similarity join. Scale path: route batches
+    through IVF/LSH cells first (ivf_topk's assignment) so only
+    same-cell pairs are scored; the blocked matmul here is the exact
+    small/medium-N baseline."""
+    tbl = pa.Table.from_pylist(ds.take_all())
+    all_ids = np.asarray(tbl["vec_id"], dtype=np.int64)
+    mat_ref = ray.put((_normalize(_batch_mat(tbl)), all_ids))
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        from quickray.util import round_sql
+
+        mat, ids_all = ray.get(mat_ref)
+        m = _normalize(_batch_mat(batch))
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        sims = m @ mat.T
+        ai, bi = np.nonzero(
+            (sims >= threshold) & (ids[:, None] < ids_all[None, :])
+        )
+        return pa.table(
+            {
+                "a": pa.array(ids[ai]),
+                "b": pa.array(ids_all[bi]),
+                "cosine": pa.array(round_sql(sims[ai, bi], ndigits)),
+            }
+        )
+
+    parts = ds.map_batches(block_pairs, batch_format="pyarrow").take_all()
+    a = np.array([r["a"] for r in parts], dtype=np.int64)
+    b = np.array([r["b"] for r in parts], dtype=np.int64)
+    c = np.array([r["cosine"] for r in parts], dtype=np.float64)
+    order = np.lexsort((b, a))
+    return pa.table(
+        {"a": pa.array(a[order]), "b": pa.array(b[order]),
+         "cosine": pa.array(c[order])}
+    )
+
+
 def _kmeans_lite(sample: np.ndarray, nlist: int, iters: int = 5) -> np.ndarray:
     """Deterministic k-means on a sample: first-nlist init, Lloyd iters."""
     centroids = sample[:nlist].copy()

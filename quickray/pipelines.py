@@ -43,6 +43,10 @@ def _emb_ds(sf_dir: str) -> "rd.Dataset":
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _events_ds(sf_dir: str) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
 @lru_cache(maxsize=8)
 def docs_engine(sf_dir: str) -> LocalEngine:
     """Build (once, cached+resumable) the full index over the adapted
@@ -327,6 +331,48 @@ def media_features_pipeline(sf_dir: str):
 
     n = max(32, min(256, _count_docs(sf_dir) // 4))
     return featurize(rd.from_arrow(synthetic_media(n)))
+
+
+def events_window_pipeline(sf_dir: str) -> pa.Table:
+    """Tumbling 1h windows over events: count + exact min/max(value)
+    (order-independent aggregates — hash-exact vs any oracle)."""
+    from quickray.extras.events import window_aggregate
+
+    t = window_aggregate(_events_ds(sf_dir), window_sec=3600).to_pandas()
+    t["vmin"] = round_sql(t["vmin"].to_numpy(), 4)
+    t["vmax"] = round_sql(t["vmax"].to_numpy(), 4)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def events_sessions_pipeline(sf_dir: str):
+    from quickray.extras.events import sessionize
+
+    return sessionize(_events_ds(sf_dir), gap_sec=1800)
+
+
+def embedding_near_dup_pipeline(sf_dir: str) -> pa.Table:
+    from quickray.extras.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_emb_ds(sf_dir), threshold=0.4)
+
+
+def fingerprint_pipeline(sf_dir: str):
+    from quickray.extras.textstats import rolling_fingerprints
+
+    return rolling_fingerprints(_docs_ds(sf_dir))
+
+
+def video_csv_parse(sf_dir: str) -> pa.Table:
+    """S1 reference-parity CSV ingest (demo/job/build_index.go:23-102)
+    over a deterministic fixture exercising every parse quirk."""
+    from quickray.sources import ensure_video_csv_fixture, read_video_csv
+
+    path = ensure_video_csv_fixture("/tmp/quickray_cache")
+    t = read_video_csv(path)
+    return t.drop_columns(["keywords"]).append_column(
+        "keywords_joined",
+        pc.binary_join(t["keywords"].combine_chunks(), "|"),
+    )
 
 
 def _count_docs(sf_dir: str) -> int:
