@@ -1,0 +1,122 @@
+"""CLI entry point — the ``ray job submit`` surface (north rule: the
+same entrypoint runs unchanged on N-node and 4N-node clusters; Ray's
+cluster membership replaces the reference's etcd + worker flags,
+demo/cmd/main.go:12-19).
+
+  ray job submit -- python -m quickray.cli build --corpus DIR --out DIR
+  ray job submit -- python -m quickray.cli query --index DIR --terms a,b
+  ray job submit -- python -m quickray.cli gen --out DIR --docs 100000
+
+Owns a Ray session when run standalone (guarded init); under
+``ray job submit`` it attaches to the cluster it was submitted to.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False)
+
+
+def cmd_build(args: argparse.Namespace) -> int:
+    from quickray.build import build_index
+
+    _ensure_ray()
+    t0 = time.time()
+    res = build_index(
+        args.corpus,
+        args.out,
+        num_salts=args.num_salts,
+        num_shards=args.num_shards,
+        num_parts=args.num_parts,
+        hot_df=args.hot_df,
+    )
+    out = {
+        "out_dir": res.out_dir,
+        "sec": round(time.time() - t0, 3),
+        "docs_per_sec": round(res.stats["n_docs"] / max(1e-9, time.time() - t0), 1),
+        "phase_times": {k: round(v, 3) for k, v in res.phase_times.items()},
+        "stats": {k: v for k, v in res.stats.items() if k != "hot_terms"},
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    from quickray.engine import Index, LocalEngine
+    from quickray.query import And, Or, Query, Term, query_from_json
+
+    eng = LocalEngine(Index(args.index))
+    if args.query_json:
+        q = query_from_json(json.loads(args.query_json))
+        q.k = args.k
+    else:
+        terms = tuple(Term(t) for t in args.terms.split(","))
+        tree = And(terms) if args.mode == "and" else Or(terms)
+        q = Query(tree=tree, k=args.k, on_flag=args.on_flag,
+                  off_flag=args.off_flag)
+    t0 = time.time()
+    ids, scores = eng.search(q)
+    out = {
+        "latency_ms": round((time.time() - t0) * 1e3, 3),
+        "hits": [
+            {"rank": i + 1, "doc_id": int(d), "score": float(s)}
+            for i, (d, s) in enumerate(zip(ids, scores))
+        ],
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_gen(args: argparse.Namespace) -> int:
+    from quickray.corpus import ensure_corpus_parquet
+
+    path = ensure_corpus_parquet(args.out, args.docs, seed=args.seed)
+    print(json.dumps({"corpus": path, "docs": args.docs}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="quickray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--num-salts", type=int, default=8)
+    b.add_argument("--num-shards", type=int, default=64)
+    b.add_argument("--num-parts", type=int, default=128)
+    b.add_argument("--hot-df", type=int, default=None)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k over a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--terms", default="", help="comma-separated terms")
+    q.add_argument("--mode", choices=["and", "or"], default="or")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--on-flag", type=int, default=0)
+    q.add_argument("--off-flag", type=int, default=0)
+    q.add_argument("--query-json", default=None,
+                   help="full TermQuery tree as JSON (overrides --terms)")
+    q.set_defaults(fn=cmd_query)
+
+    g = sub.add_parser("gen", help="generate the synthetic code corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--docs", type=int, default=100000)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=cmd_gen)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
