@@ -83,6 +83,13 @@ class Index:
     def vocab_size(self) -> int:
         return len(self._terms)
 
+    def df_map(self) -> dict[str, int]:
+        """term -> df straight from the segment column (no posting
+        decode — df is materialized at merge time)."""
+        return dict(
+            zip(self._seg["term"].to_pylist(), self._seg["df"].to_pylist())
+        )
+
 
 def _accumulate_topk(
     doc_arrays: list[np.ndarray], contrib_arrays: list[np.ndarray], k: int

@@ -226,7 +226,12 @@ def ngram_jaccard_pairs(
 ) -> pa.Table:
     """Exact all-pairs token-set Jaccard on docs with doc_id < max_doc_id
     (bounded, so it stays oracle-checkable in SQL)."""
-    sub = ds.filter(lambda r: r["doc_id"] < max_doc_id)
+    import pyarrow.compute as pc
+
+    sub = ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], max_doc_id)),
+        batch_format="pyarrow",
+    )
     pairs = [
         (a, b)
         for a in range(max_doc_id)

@@ -389,11 +389,7 @@ def reference_query_results(sf_dir: str):
     from quickray.queryset import make_query_set
 
     eng = docs_engine(sf_dir)
-    df_map = {
-        t: eng.index.posting(t).df
-        for t in list(eng.index._terms)
-    }
-    queries = make_query_set(df_map, langs=DOC_LANGS)
+    queries = make_query_set(eng.index.df_map(), langs=DOC_LANGS)
     qds = rd.from_items([{"query": _json.dumps(q.to_json())} for q in queries])
     return qds.map_batches(
         QueryEngineActor,
