@@ -46,7 +46,12 @@ class Index:
     query actor would load only its term-hash shards (the `shard`
     column written at merge time); single-node tests load everything."""
 
-    def __init__(self, out_dir: str, shards: set[int] | None = None):
+    def __init__(
+        self,
+        out_dir: str,
+        shards: set[int] | None = None,
+        preload_top_df: int = 0,
+    ):
         self.out_dir = out_dir
         with open(os.path.join(out_dir, "stats", "stats.json")) as f:
             self.stats = json.load(f)
@@ -58,6 +63,12 @@ class Index:
         )
         self._terms = {t: i for i, t in enumerate(self._seg["term"].to_pylist())}
         self._cache: dict[str, Posting | None] = {}
+        if preload_top_df:
+            # decode the heaviest postings once at load time (serving
+            # actors pay this in __init__, never on the query path)
+            df = np.asarray(self._seg["df"])
+            for i in np.argsort(-df)[:preload_top_df]:
+                self.posting(self._seg["term"][int(i)].as_py())
 
     def posting(self, term: str) -> Posting | None:
         if term in self._cache:
@@ -92,17 +103,37 @@ class Index:
 
 
 def _accumulate_topk(
-    doc_arrays: list[np.ndarray], contrib_arrays: list[np.ndarray], k: int
+    doc_arrays: list[np.ndarray],
+    contrib_arrays: list[np.ndarray],
+    k: int,
+    n_docs: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sum per-term contributions per doc (term-sorted input order ->
-    deterministic float summation) and return top-k by (-score, doc_id)."""
+    deterministic float summation) and return top-k by (-score, doc_id).
+
+    With dense ids (n_docs known) accumulation is one C-speed bincount
+    over a doc-indexed array and top-k is partition-select + a lexsort
+    of only the k-and-ties candidates — exact same result as the full
+    sort (both paths sum in order of appearance = ascending term)."""
     if not doc_arrays:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     docs = np.concatenate(doc_arrays)
     contribs = np.concatenate(contrib_arrays)
-    uniq, inv = np.unique(docs, return_inverse=True)
-    scores = np.zeros(len(uniq), dtype=np.float64)
-    np.add.at(scores, inv, contribs)
+    if n_docs is not None and len(docs) > n_docs // 16:
+        # dense only when postings are a sizable fraction of the corpus;
+        # small queries would pay O(n_docs) allocation for nothing
+        scores_d = np.bincount(docs, weights=contribs, minlength=n_docs)
+        counts = np.bincount(docs, minlength=n_docs)
+        uniq = np.flatnonzero(counts)
+        scores = scores_d[uniq]
+    else:
+        uniq, inv = np.unique(docs, return_inverse=True)
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(scores, inv, contribs)
+    if len(uniq) > max(k, 0) > 0 and len(uniq) > 4 * k:
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        cand = scores >= kth  # k-th largest value + all ties
+        uniq, scores = uniq[cand], scores[cand]
     order = np.lexsort((uniq, -scores))[:k]
     return uniq[order], scores[order]
 
@@ -169,7 +200,7 @@ class LocalEngine:
             if got is not None:
                 docs.append(got[0])
                 contribs.append(got[1])
-        return _accumulate_topk(docs, contribs, q.k)
+        return _accumulate_topk(docs, contribs, q.k, self.index.n_docs)
 
     def search(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (doc_ids, scores), rank-identical to the oracle."""
@@ -199,8 +230,13 @@ class QueryEngineActor:
     Sentinel's scatter/gather (sentinel.go:137-187) with Ray doing the
     scheduling."""
 
-    def __init__(self, index_dir: str, shards: set[int] | None = None):
-        self.engine = LocalEngine(Index(index_dir, shards))
+    def __init__(
+        self,
+        index_dir: str,
+        shards: set[int] | None = None,
+        preload_top_df: int = 64,
+    ):
+        self.engine = LocalEngine(Index(index_dir, shards, preload_top_df))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []

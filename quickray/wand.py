@@ -55,7 +55,7 @@ def block_max_topk(engine, terms: list[str], q: Query):
         if len(contrib) >= k:
             theta = max(theta, np.partition(contrib, -k)[-k])
     if not np.isfinite(theta) or total <= EXHAUSTIVE_CUTOFF:
-        return _accumulate_topk([d for d, _, _ in infos], [c for _, c, _ in infos], k)
+        return _accumulate_topk([d for d, _, _ in infos], [c for _, c, _ in infos], k, index.n_docs)
 
     # upper-bound step function over doc_id from block metadata
     pos_parts, delta_parts = [], []
@@ -78,7 +78,7 @@ def block_max_topk(engine, terms: list[str], q: Query):
     margin = 1e-9 * max(1.0, abs(theta))
     keep = ub >= theta - margin
     if keep.all():
-        return _accumulate_topk([d for d, _, _ in infos], [c for _, c, _ in infos], k)
+        return _accumulate_topk([d for d, _, _ in infos], [c for _, c, _ in infos], k, index.n_docs)
     starts_k = pos[keep]
     nxt = np.r_[pos[1:], np.iinfo(np.int64).max]
     ends_k = nxt[keep]  # exclusive
@@ -89,4 +89,4 @@ def block_max_topk(engine, terms: list[str], q: Query):
         ok = (idx >= 0) & (docs < ends_k[np.maximum(idx, 0)])
         docs_f.append(docs[ok])
         contribs_f.append(contrib[ok])
-    return _accumulate_topk(docs_f, contribs_f, k)
+    return _accumulate_topk(docs_f, contribs_f, k, index.n_docs)
