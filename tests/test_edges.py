@@ -1,0 +1,78 @@
+"""Edge corpora + shard-filtered index loading."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from quickray.build import build_index
+from quickray.engine import Index, LocalEngine
+from quickray.query import Or, Query, Term
+from quickray.util import stable_hash_str
+
+
+def _tiny(tmp_path, contents):
+    tbl = pa.table(
+        {
+            "repo": pa.array(["r"] * len(contents)),
+            "path": pa.array([f"f{i}.go" for i in range(len(contents))]),
+            "commit": pa.array(["c"] * len(contents)),
+            "lang": pa.array(["go"] * len(contents)),
+            "content": pa.array(contents, pa.string()),
+        }
+    )
+    out = str(tmp_path / "idx")
+    build_index(tbl, out, num_salts=2, num_shards=5)
+    return out
+
+
+def test_empty_content_doc(tmp_path):
+    out = _tiny(tmp_path, ["alpha beta", "", "beta gamma"])
+    eng = LocalEngine(Index(out))
+    assert eng.index.n_docs == 3
+    # empty doc: doc_len 0, appears in no posting
+    import os
+
+    import pyarrow.parquet as pq
+
+    dm = pq.read_table(os.path.join(out, "docmeta"))
+    lens = dict(zip(dm["doc_id"].to_pylist(), dm["doc_len"].to_pylist()))
+    assert lens[1] == 0
+    import hashlib
+
+    shas = dict(zip(dm["doc_id"].to_pylist(), dm["sha256"].to_pylist()))
+    assert shas[1] == hashlib.sha256(b"").hexdigest()
+    ids, scores = eng.search(Query(tree=Term("beta"), k=10))
+    assert set(ids.tolist()) == {0, 2}
+
+
+def test_single_doc_corpus(tmp_path):
+    out = _tiny(tmp_path, ["only one document here"])
+    eng = LocalEngine(Index(out))
+    ids, scores = eng.search(Query(tree=Or((Term("only"), Term("absent"))), k=5))
+    assert ids.tolist() == [0]
+    assert scores[0] > 0
+
+
+def test_shard_filtered_index(tmp_path):
+    out = _tiny(tmp_path, ["alpha beta", "beta gamma", "gamma delta"])
+    full = Index(out)
+    for term in ("alpha", "beta", "gamma", "delta"):
+        shard = stable_hash_str(term) % 5
+        part = Index(out, shards={shard})
+        p = part.posting(term)
+        assert p is not None
+        assert p.doc_ids.tolist() == full.posting(term).doc_ids.tolist()
+        # terms of other shards are absent from this partial view
+        others = [t for t in ("alpha", "beta", "gamma", "delta")
+                  if stable_hash_str(t) % 5 != shard]
+        for o in others:
+            assert part.posting(o) is None
+
+
+def test_missing_term_and_k_zero(tmp_path):
+    out = _tiny(tmp_path, ["alpha beta"])
+    eng = LocalEngine(Index(out))
+    ids, _ = eng.search(Query(tree=Term("nope"), k=10))
+    assert len(ids) == 0
+    ids, _ = eng.search(Query(tree=Term("alpha"), k=0))
+    assert len(ids) == 0
