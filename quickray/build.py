@@ -70,8 +70,15 @@ def _segment_row_count(seg_dir: str) -> int:
 
     return sum(
         pq.read_metadata(f).num_rows
-        for f in glob.glob(os.path.join(seg_dir, "*.parquet"))
+        for f in glob.glob(os.path.join(seg_dir, "**", "*.parquet"), recursive=True)
     )
+
+
+def _chunk_bounds(n: int, chunks: int) -> list[tuple[int, int]]:
+    """Split range(n) into ≤chunks contiguous [lo, hi) spans."""
+    chunks = max(1, min(chunks, n))
+    step = (n + chunks - 1) // chunks
+    return [(lo, min(lo + step, n)) for lo in range(0, n, step)]
 
 
 def _partial_df(t: pa.Table) -> pa.Table:
@@ -203,6 +210,8 @@ def build_index(
     num_salts: int = 8,
     num_shards: int = 64,
     num_parts: int = 128,
+    durable_shuffle: bool = False,
+    shuffle_chunks: int = 4,
     tokenizer_concurrency: int | None = None,
     block_size: int = BLOCK_SIZE,
 ) -> BuildResult:
@@ -342,25 +351,33 @@ def build_index(
         man.mark_done("docmeta", elapsed=time.time() - t0)
     result.phase_times["docmeta"] = time.time() - t0
 
-    # ------------------------------------------------------ phase postings
-    # Tokenizer actors emit compressed per-batch posting runs; the
-    # level-1 shuffle groups them by part = hash(term, salt) % num_parts
-    # and each map_groups call merges a whole partition vectorized
-    # (merge.py). Shuffle payload = varint runs, ~10x smaller than the
-    # exploded (term, doc, tf) stream.
-    t0 = time.time()
-    partials_dir = os.path.join(out_dir, "postings")
-    if not man.phase_done("postings"):
-        d = man.phase_dir("postings")
-        hot_ref = ray.put(frozenset(stats["hot_terms"]))
-        tok_kwargs = {
-            "hot_ref": hot_ref,
-            "n_docs": stats["n_docs"],
-            "num_salts": num_salts,
-            "emit_runs": True,
-            "num_parts": num_parts,
-            "rank_ref": rank_ref,
-        }
+    # -------------------------------------------------------- the shuffle
+    # Tokenizer emits compressed per-batch posting runs (one row per
+    # term per batch, delta+varint streams — ~10x smaller than the
+    # exploded (term, doc, tf) rows).
+    #
+    # Two execution modes:
+    #  - streaming (default): tokenize -> groupby(part) -> level-1 merge
+    #    as ONE pipeline; Ray lineage re-executes failed tasks, resume
+    #    granularity is the phase. Fastest.
+    #  - durable_shuffle=True: the map side of the exchange is
+    #    checkpointed to runs/ hive-partitioned by part, and both merge
+    #    levels run as shuffle_chunks independently-manifested chunks
+    #    over part/mpart ranges — a DRIVER/cluster restart resumes
+    #    mid-shuffle, never re-tokenizing and never redoing a finished
+    #    chunk. Costs one extra write+read of the compressed runs; the
+    #    right default for multi-hour 10^12-file builds.
+    hot_ref = ray.put(frozenset(stats["hot_terms"]))
+    tok_kwargs = {
+        "hot_ref": hot_ref,
+        "n_docs": stats["n_docs"],
+        "num_salts": num_salts,
+        "emit_runs": True,
+        "num_parts": num_parts,
+        "rank_ref": rank_ref,
+    }
+
+    def _runs_ds() -> "rd.Dataset":
         tok_cols = ["content"] + (["doc_id"] if not use_rank else ["repo", "path"])
         ds = src.read(tok_cols)
         if not use_rank and id_col != "doc_id":
@@ -368,7 +385,7 @@ def build_index(
         if tokenizer_concurrency:
             # actor-pool form (state in __init__); reserves its CPUs for
             # the phase — prefer task mode unless actors are required
-            runs = ds.map_batches(
+            return ds.map_batches(
                 Tokenizer,
                 fn_constructor_kwargs=tok_kwargs,
                 batch_format="pyarrow",
@@ -376,50 +393,118 @@ def build_index(
                 concurrency=tokenizer_concurrency,
                 num_cpus=1,
             )
-        else:
-            # task mode: per-worker cached state, dynamic scheduling
-            # shares all CPUs with the overlapping shuffle/merge tasks
-            from quickray.tokenize import make_run_tokenizer
+        # task mode: per-worker cached state, dynamic scheduling shares
+        # all CPUs with the overlapping shuffle/merge tasks
+        from quickray.tokenize import make_run_tokenizer
 
-            runs = ds.map_batches(
-                make_run_tokenizer(out_dir, **tok_kwargs),
-                batch_format="pyarrow",
-                batch_size=1024,
-            )
-        runs.groupby("part").map_groups(
-            make_level1_merge(num_shards), batch_format="pyarrow"
-        ).write_parquet(d)
-        man.mark_done("postings", elapsed=time.time() - t0)
-    result.phase_times["postings"] = time.time() - t0
+        return ds.map_batches(
+            make_run_tokenizer(out_dir, **tok_kwargs),
+            batch_format="pyarrow",
+            batch_size=1024,
+        )
 
-    # ------------------------------------------------ phase merge/segments
-    # Level-2: one row per (term, salt) in, one final segment row per
-    # term out; partition key mpart = hash(term) % num_shards doubles as
-    # the segment layout key. Per-posting dl/bits come from a broadcast
-    # doc_id-indexed array (dense ids), not from the shuffle.
-    t0 = time.time()
-    if not man.phase_done("segments"):
-        d = man.phase_dir("segments")
+    def _dl_bits_ref():
         dm = pq.read_table(docmeta_dir, columns=["doc_id", "doc_len", "bits"])
         order = np.asarray(dm["doc_id"])
         dl_arr = np.zeros(stats["n_docs"], dtype=np.int64)
         bits_arr = np.zeros(stats["n_docs"], dtype=np.int64)
         dl_arr[order] = np.asarray(dm["doc_len"])
         bits_arr[order] = np.asarray(dm["bits"])
-        dl_bits_ref = ray.put((dl_arr, bits_arr))
-        (
-            rd.read_parquet(partials_dir)
-            .groupby("mpart")
-            .map_groups(
-                make_final_merge(
-                    stats["n_docs"], stats["avgdl"], block_size, dl_bits_ref
-                ),
-                batch_format="pyarrow",
+        return ray.put((dl_arr, bits_arr))
+
+    partials_dir = os.path.join(out_dir, "postings")
+    if not durable_shuffle:
+        # ---------------------------------- streaming postings + segments
+        t0 = time.time()
+        if not man.phase_done("postings"):
+            d = man.phase_dir("postings")
+            _runs_ds().groupby("part").map_groups(
+                make_level1_merge(num_shards), batch_format="pyarrow"
+            ).write_parquet(d)
+            man.mark_done("postings", elapsed=time.time() - t0)
+        result.phase_times["postings"] = time.time() - t0
+
+        t0 = time.time()
+        if not man.phase_done("segments"):
+            d = man.phase_dir("segments")
+            (
+                rd.read_parquet(partials_dir)
+                .groupby("mpart")
+                .map_groups(
+                    make_final_merge(
+                        stats["n_docs"], stats["avgdl"], block_size,
+                        _dl_bits_ref(),
+                    ),
+                    batch_format="pyarrow",
+                )
+                .write_parquet(d)
             )
-            .write_parquet(d)
-        )
-        man.mark_done("segments", elapsed=time.time() - t0)
-    result.phase_times["segments"] = time.time() - t0
+            man.mark_done("segments", elapsed=time.time() - t0)
+        result.phase_times["segments"] = time.time() - t0
+    else:
+        # ------------------------- durable runs + chunked merge levels
+        t0 = time.time()
+        runs_dir = os.path.join(out_dir, "runs")
+        if not man.phase_done("runs"):
+            d = man.phase_dir("runs")
+            _runs_ds().write_parquet(d, partition_cols=["part"])
+            man.mark_done("runs", elapsed=time.time() - t0)
+        result.phase_times["runs"] = time.time() - t0
+
+        t0 = time.time()
+        for ci, (lo, hi) in enumerate(_chunk_bounds(num_parts, shuffle_chunks)):
+            pname = f"postings:{ci}"
+            if man.phase_done(pname):
+                continue
+            d = man.phase_dir(pname, subdir=os.path.join("postings", f"chunk_{ci}"))
+            from ray.data.datasource.partitioning import PathPartitionFilter
+
+            pf = PathPartitionFilter.of(
+                lambda kv, lo=lo, hi=hi: lo <= int(kv["part"]) < hi,
+                style="hive",
+            )
+            (
+                # partition_filter = true directory pruning: only this
+                # chunk's part= dirs are even listed
+                rd.read_parquet(runs_dir, partition_filter=pf)
+                .groupby("part")
+                .map_groups(make_level1_merge(num_shards), batch_format="pyarrow")
+                .write_parquet(d)
+            )
+            man.mark_done(pname, elapsed=time.time() - t0,
+                          counters={"part_lo": lo, "part_hi": hi})
+        result.phase_times["postings"] = time.time() - t0
+
+        t0 = time.time()
+        seg_chunks = _chunk_bounds(num_shards, shuffle_chunks)
+        todo = [ci for ci in range(len(seg_chunks))
+                if not man.phase_done(f"segments:{ci}")]
+        if todo:
+            dl_bits = _dl_bits_ref()
+            for ci in todo:
+                lo, hi = seg_chunks[ci]
+                pname = f"segments:{ci}"
+                d = man.phase_dir(
+                    pname, subdir=os.path.join("segments", f"chunk_{ci}")
+                )
+                (
+                    rd.read_parquet(
+                        partials_dir,
+                        filter=(pads.field("mpart") >= lo)
+                        & (pads.field("mpart") < hi),
+                    )
+                    .groupby("mpart")
+                    .map_groups(
+                        make_final_merge(
+                            stats["n_docs"], stats["avgdl"], block_size, dl_bits
+                        ),
+                        batch_format="pyarrow",
+                    )
+                    .write_parquet(d)
+                )
+                man.mark_done(pname, elapsed=time.time() - t0,
+                              counters={"mpart_lo": lo, "mpart_hi": hi})
+        result.phase_times["segments"] = time.time() - t0
     stats["vocab_size"] = _segment_row_count(os.path.join(out_dir, "segments"))
     with open(stats_path, "w") as f:
         json.dump(stats, f)

@@ -54,10 +54,12 @@ class Manifest:
                 prev = json.load(f)
             if prev.get("fingerprint") == fingerprint:
                 self.data = prev
-            # fingerprint changed -> stale build; start over
+            # fingerprint changed -> stale build; start over. Chunked
+            # phases ("postings:3") live under the base name's dir.
             else:
-                for name in list(prev.get("phases", {})):
-                    d = os.path.join(out_dir, name)
+                for name, rec in prev.get("phases", {}).items():
+                    base = rec.get("dir", name).split("/")[0].split(":")[0]
+                    d = os.path.join(out_dir, base)
                     if os.path.isdir(d):
                         shutil.rmtree(d)
 
@@ -65,10 +67,14 @@ class Manifest:
         ph = self.data["phases"].get(name)
         return bool(ph and ph.get("status") == "done")
 
-    def phase_dir(self, name: str, clean: bool = True) -> str:
-        """Directory for a phase's output; wipes partial output of an
-        unfinished phase so reruns are idempotent."""
-        d = os.path.join(self.out_dir, name)
+    def phase_dir(self, name: str, clean: bool = True, subdir: str | None = None) -> str:
+        """Directory for a phase's output (``subdir`` for chunked phases
+        whose name isn't a valid path, e.g. "postings:3" ->
+        postings/chunk_3); wipes partial output of an unfinished phase
+        so reruns are idempotent."""
+        rel = subdir or name
+        self.data["phases"].setdefault(name, {})["dir"] = rel
+        d = os.path.join(self.out_dir, rel)
         if clean and not self.phase_done(name) and os.path.isdir(d):
             shutil.rmtree(d)
         os.makedirs(d, exist_ok=True)
@@ -82,12 +88,15 @@ class Manifest:
         with_files: bool = True,
         elapsed: float | None = None,
     ) -> None:
-        rec: dict[str, Any] = {"status": "done", "finished_at": time.time()}
+        rel = self.data["phases"].get(name, {}).get("dir", name)
+        rec: dict[str, Any] = {
+            "status": "done", "finished_at": time.time(), "dir": rel,
+        }
         if elapsed is not None:
             rec["elapsed_sec"] = round(elapsed, 3)
         if counters:
             rec["counters"] = counters
-        d = os.path.join(self.out_dir, name)
+        d = os.path.join(self.out_dir, rel)
         if with_files and os.path.isdir(d):
             files, rows = parquet_file_stats(d)
             rec["files"] = files

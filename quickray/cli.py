@@ -38,6 +38,7 @@ def cmd_build(args: argparse.Namespace) -> int:
         num_shards=args.num_shards,
         num_parts=args.num_parts,
         hot_df=args.hot_df,
+        durable_shuffle=args.durable_shuffle,
     )
     out = {
         "out_dir": res.out_dir,
@@ -95,6 +96,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--num-shards", type=int, default=64)
     b.add_argument("--num-parts", type=int, default=128)
     b.add_argument("--hot-df", type=int, default=None)
+    b.add_argument("--durable-shuffle", action="store_true",
+                   help="checkpoint the map side of the exchange and run "
+                        "chunked merges (mid-shuffle resume for long builds)")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")

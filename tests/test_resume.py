@@ -1,6 +1,6 @@
-"""Checkpoint/resume (SURVEY §7.6): killed-after-phase builds resume to
-an identical index; unchanged inputs are a fast no-op; changed inputs
-invalidate."""
+"""Checkpoint/resume (SURVEY §7.6): killed-after-phase AND killed
+mid-shuffle builds resume to an identical index; unchanged inputs are a
+fast no-op; changed inputs invalidate."""
 
 import json
 import os
@@ -18,6 +18,13 @@ def _segments_fingerprint(out):
     return [t[c].to_pylist() for c in ["term", "postings", "tfs", "block_max"]]
 
 
+def _drop(man, out, prefixes):
+    for k in [k for k in man["phases"] if k.split(":")[0] in prefixes]:
+        del man["phases"][k]
+    for p in prefixes:
+        shutil.rmtree(os.path.join(out, p), ignore_errors=True)
+
+
 def test_resume_noop_and_kill_resume(tmp_path):
     tbl = generate_corpus(250, seed=3)
     out = str(tmp_path / "b")
@@ -32,23 +39,60 @@ def test_resume_noop_and_kill_resume(tmp_path):
     # simulate a crash between postings and merge
     man_path = os.path.join(out, "manifest.json")
     man = json.load(open(man_path))
-    del man["phases"]["segments"]
-    del man["phases"]["docmeta"]
+    _drop(man, out, {"segments", "docmeta"})
     json.dump(man, open(man_path, "w"))
-    shutil.rmtree(os.path.join(out, "segments"))
-    shutil.rmtree(os.path.join(out, "docmeta"))
     r2 = build_index(tbl, out, hot_df=100, num_salts=2)
     assert _segments_fingerprint(out) == fresh
     assert r2.stats == r1.stats
 
-    # manifest records lineage: files + rows per phase
+    # manifest records lineage: files + rows per phase (chunked phases
+    # record their chunk dir)
     man = json.load(open(man_path))
-    for phase in ["docbase", "docmeta", "postings", "segments"]:
-        assert man["phases"][phase]["status"] == "done"
-        assert man["phases"][phase]["rows"] > 0
-        assert len(man["phases"][phase]["files"]) >= 1
-        for f in man["phases"][phase]["files"]:
+    base_names = {k.split(":")[0] for k in man["phases"]}
+    assert {"docbase", "docmeta", "postings", "segments"} <= base_names
+    for phase, rec in man["phases"].items():
+        if phase in ("docids", "stats"):
+            continue
+        assert rec["status"] == "done"
+        assert rec["rows"] > 0, phase
+        assert len(rec["files"]) >= 1
+        for f in rec["files"]:
             assert f["rows"] >= 0 and f["bytes"] > 0
+
+
+def test_mid_shuffle_resume(tmp_path):
+    """Kill inside the exchange: one completed postings chunk is wiped,
+    the others must be skipped on resume and the index comes back
+    byte-identical."""
+    tbl = generate_corpus(250, seed=3)
+    out = str(tmp_path / "b")
+    build_index(tbl, out, hot_df=100, num_salts=2,
+                durable_shuffle=True, shuffle_chunks=4)
+    fresh = _segments_fingerprint(out)
+
+    man_path = os.path.join(out, "manifest.json")
+    man = json.load(open(man_path))
+    chunk_keys = sorted(k for k in man["phases"] if k.startswith("postings:"))
+    assert len(chunk_keys) == 4
+    victim = chunk_keys[2]
+    vdir = os.path.join(out, man["phases"][victim]["dir"])
+    survivor = chunk_keys[0]
+    sdir = os.path.join(out, man["phases"][survivor]["dir"])
+    survivor_mtime = max(
+        os.path.getmtime(os.path.join(sdir, f)) for f in os.listdir(sdir)
+    )
+    del man["phases"][victim]
+    shutil.rmtree(vdir)
+    _drop(man, out, {"segments"})
+    json.dump(man, open(man_path, "w"))
+
+    build_index(tbl, out, hot_df=100, num_salts=2,
+                durable_shuffle=True, shuffle_chunks=4)
+    assert _segments_fingerprint(out) == fresh
+    # surviving chunks were not rewritten
+    assert max(
+        os.path.getmtime(os.path.join(sdir, f)) for f in os.listdir(sdir)
+    ) == survivor_mtime
 
 
 def test_fingerprint_change_invalidates(tmp_path):
