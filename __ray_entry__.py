@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": P.media_features_pipeline,
         "video_csv_parse": P.video_csv_parse,
         "reference_queries": P.reference_query_results,
+        "sharded_queries": P.sharded_reference_queries,
     }
 
 

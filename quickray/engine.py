@@ -94,6 +94,20 @@ class Index:
     def vocab_size(self) -> int:
         return len(self._terms)
 
+    def doc_lens(self, doc_ids: np.ndarray) -> np.ndarray:
+        """doc_len lookup via the forward index (docmeta), loaded
+        lazily once as a dense doc-indexed array."""
+        arr = getattr(self, "_doc_len_arr", None)
+        if arr is None:
+            dm = pq.read_table(
+                os.path.join(self.out_dir, "docmeta"),
+                columns=["doc_id", "doc_len"],
+            )
+            arr = np.zeros(self.n_docs, dtype=np.int64)
+            arr[np.asarray(dm["doc_id"])] = np.asarray(dm["doc_len"])
+            self._doc_len_arr = arr
+        return arr[np.asarray(doc_ids, dtype=np.int64)]
+
     def df_map(self) -> dict[str, int]:
         """term -> df straight from the segment column (no posting
         decode — df is materialized at merge time)."""
@@ -228,17 +242,58 @@ class QueryEngineActor:
     Index loaded once per actor (__init__), served per batch — the
     actor-pool analog of quicker's per-worker in-memory index + the
     Sentinel's scatter/gather (sentinel.go:137-187) with Ray doing the
-    scheduling."""
+    scheduling.
+
+    mode="topk": each call answers queries completely (full index or a
+    doc-disjoint shard). mode="contrib": term-sharded scatter — the
+    actor loads only its `shards` and emits per-(query, doc) partial
+    BM25 contributions for the terms it owns; a downstream
+    groupby(query_id, doc_id).sum + per-query top-k is the gather
+    (pipelines.sharded_reference_queries)."""
 
     def __init__(
         self,
         index_dir: str,
         shards: set[int] | None = None,
         preload_top_df: int = 64,
+        mode: str = "topk",
     ):
         self.engine = LocalEngine(Index(index_dir, shards, preload_top_df))
+        self.mode = mode
+
+    def _contrib_rows(self, batch: pa.Table) -> pa.Table:
+        from quickray.query import flat_or_terms
+
+        qids, docs, scores = [], [], []
+        for qjson in batch["query"].to_pylist():
+            q = query_from_json(json.loads(qjson))
+            terms = flat_or_terms(q.tree)
+            if terms is None:
+                raise ValueError("contrib mode serves flat OR queries only")
+            for t in sorted(set(terms)):
+                p = self.engine.index.posting(t)
+                if p is None:
+                    continue
+                m = flags_mask(p.bits, q.on_flag, q.off_flag, q.or_flags)
+                d = p.doc_ids[m]
+                c = bm25_contrib(
+                    p.tfs[m], p.dls[m], p.df,
+                    self.engine.index.n_docs, self.engine.index.avgdl,
+                )
+                qids.extend([q.id] * len(d))
+                docs.extend(d.tolist())
+                scores.extend(c.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "partial": pa.array(scores, pa.float64()),
+            }
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "contrib":
+            return self._contrib_rows(batch)
         qids, ranks, docs, scores = [], [], [], []
         for qjson in batch["query"].to_pylist():
             q = query_from_json(json.loads(qjson))

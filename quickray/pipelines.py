@@ -379,6 +379,73 @@ def _count_docs(sf_dir: str) -> int:
     return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
 
 
+def sharded_reference_queries(sf_dir: str, n_groups: int = 4):
+    """Sentinel scatter/gather, Ray-Data-first and term-sharded: the
+    flat-OR reference queries are broadcast to n_groups engine stages,
+    each loading ONLY its shard subset of the segments (directory/row-
+    group pruned) and emitting partial BM25 contributions for the terms
+    it owns; gather = groupby(query_id, doc_id).sum + per-query top-k.
+    At cluster scale each group is an actor pool on the nodes holding
+    those shards (sentinel.go:137-187 analog, A2)."""
+    import json as _json
+
+    from ray.data.aggregate import Sum
+
+    from quickray.engine import QueryEngineActor
+    from quickray.query import flat_or_terms
+    from quickray.queryset import make_query_set
+
+    eng = docs_engine(sf_dir)
+    num_shards = 64  # build default
+    queries = [
+        q for q in make_query_set(eng.index.df_map(), langs=DOC_LANGS)
+        if flat_or_terms(q.tree) is not None
+    ]
+    k_of = {q.id: q.k for q in queries}
+    qds = rd.from_items(
+        [{"query": _json.dumps(q.to_json())} for q in queries]
+    )
+    group_size = (num_shards + n_groups - 1) // n_groups
+    parts = [
+        qds.map_batches(
+            QueryEngineActor,
+            fn_constructor_kwargs={
+                "index_dir": eng.index.out_dir,
+                "shards": set(range(lo, min(lo + group_size, num_shards))),
+                "mode": "contrib",
+                "preload_top_df": 0,
+            },
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=1,
+        )
+        for lo in range(0, num_shards, group_size)
+    ]
+    merged = (
+        parts[0].union(*parts[1:])
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Sum("partial", alias_name="score"))
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        ids = np.asarray(group["doc_id"], dtype=np.int64)
+        sc = np.asarray(group["score"], dtype=np.float64)
+        order = np.lexsort((ids, -sc))[: k_of.get(qid, 10)]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(order), pa.string()),
+                "rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64)
+                ),
+                "doc_id": pa.array(ids[order]),
+                "score": pa.array(sc[order]),
+            }
+        )
+
+    return merged.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
 def reference_query_results(sf_dir: str):
     """Flagship: the full reference query set answered distributed —
     a Dataset of query JSONs map_batches'd through QueryEngineActor
