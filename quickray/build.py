@@ -145,8 +145,19 @@ class _Source:
         if isinstance(source, str):
             self.fingerprint = f"path:{source}"
         elif isinstance(source, pa.Table):
+            # content-sensitive: same-shape different-content tables must
+            # not resume into each other's build dir
+            h = hashlib.sha256()
+            n = source.num_rows
+            step = max(1, n // 64)
+            sample = source.take(list(range(0, n, step)))
+            for col in ("repo", "path", "content"):
+                if col in source.column_names:
+                    for v in sample[col].to_pylist():
+                        h.update((v or "").encode())
             self.fingerprint = (
-                f"table:rows={source.num_rows}:schema={source.schema.names}"
+                f"table:rows={n}:schema={source.schema.names}"
+                f":sha={h.hexdigest()[:16]}"
             )
         else:
             self.fingerprint = f"dataset:{source.schema().names}"
@@ -219,7 +230,15 @@ def build_index(
     the caller (never calls ray.init itself)."""
     langs = langs or LANGS
     src = _Source(source)
-    man = Manifest(out_dir, src.fingerprint)
+    # layout-critical params join the fingerprint: resuming a build dir
+    # with a different shuffle/segment layout must invalidate, never
+    # silently mix chunk bounds (the partials/segments on disk encode
+    # num_parts/num_shards/num_salts/block_size)
+    layout = (
+        f"|layout:parts={num_parts},shards={num_shards},salts={num_salts},"
+        f"chunks={shuffle_chunks if durable_shuffle else 0},bs={block_size}"
+    )
+    man = Manifest(out_dir, src.fingerprint + layout)
     result = BuildResult(out_dir=out_dir)
     cpus = int(ray.cluster_resources().get("CPU", 8))
     use_rank = id_col is None
@@ -317,6 +336,7 @@ def build_index(
             "hot_sample_mod": sample_mod,
             "hot_terms": hot_terms,
             "num_salts": num_salts,
+            "num_shards": num_shards,
             "block_size": block_size,
             "langs": langs,
         }
@@ -378,7 +398,7 @@ def build_index(
     }
 
     def _runs_ds() -> "rd.Dataset":
-        tok_cols = ["content"] + (["doc_id"] if not use_rank else ["repo", "path"])
+        tok_cols = ["content"] + ([id_col] if not use_rank else ["repo", "path"])
         ds = src.read(tok_cols)
         if not use_rank and id_col != "doc_id":
             ds = ds.rename_columns({id_col: "doc_id"})

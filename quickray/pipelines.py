@@ -396,7 +396,7 @@ def sharded_reference_queries(sf_dir: str, n_groups: int = 4):
     from quickray.queryset import make_query_set
 
     eng = docs_engine(sf_dir)
-    num_shards = 64  # build default
+    num_shards = int(eng.index.stats.get("num_shards", 64))
     queries = [
         q for q in make_query_set(eng.index.df_map(), langs=DOC_LANGS)
         if flat_or_terms(q.tree) is not None

@@ -61,10 +61,10 @@ def _parse_int32(s: str) -> int:
     syntax error -> 0; range error -> clamped limit value (Go returns
     the clamped value alongside ErrRange, and the demo keeps it);
     no whitespace tolerance."""
-    if not s or not (
+    if not s or not s.isascii() or not (
         s.isdigit() or (s[0] in "+-" and s[1:].isdigit())
     ):
-        return 0
+        return 0  # (str.isdigit alone admits Unicode digits; Go is ASCII-only)
     v = int(s)
     return max(-(2**31), min(2**31 - 1, v))
 

@@ -121,8 +121,9 @@ class Tokenizer:
 
     def _grouped(self, batch: pa.Table):
         """(term, doc_id) -> tf within the batch."""
+        row_ids = self._doc_id_col(batch)
         flat, parents = flatten_tokens(batch["content"])
-        doc_ids = pc.take(self._doc_id_col(batch), parents)
+        doc_ids = pc.take(row_ids, parents)
         if isinstance(doc_ids, pa.ChunkedArray):
             doc_ids = doc_ids.combine_chunks()
         grouped = (
@@ -130,17 +131,17 @@ class Tokenizer:
             .group_by(["term", "doc_id"])
             .aggregate([([], "count_all")])
         )
-        return grouped, np.asarray(grouped["doc_id"], dtype=np.int64)
+        return grouped, np.asarray(grouped["doc_id"], dtype=np.int64), row_ids
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        grouped, gdoc = self._grouped(batch)
+        grouped, gdoc, row_ids = self._grouped(batch)
         if self.emit_runs:
             return self._encode_runs(grouped, gdoc)
         # rows mode (tests/diagnostics): attach per-posting dl + bits by
         # positional lookup of doc_id within the batch
         from quickray.scoring import compute_bits
 
-        base = np.asarray(self._doc_id_col(batch), dtype=np.int64)
+        base = np.asarray(row_ids, dtype=np.int64)
         order = np.argsort(base, kind="stable")
         pos = order[np.searchsorted(base[order], gdoc)]
         batch_bits = compute_bits(

@@ -100,3 +100,49 @@ def test_fingerprint_change_invalidates(tmp_path):
     build_index(generate_corpus(120, seed=1), out, hot_df=60)
     r = build_index(generate_corpus(150, seed=1), out, hot_df=60)
     assert r.stats["n_docs"] == 150
+
+
+def test_fingerprint_same_shape_different_content(tmp_path):
+    """Same row count + schema but different content must invalidate
+    (content-sensitive table fingerprint)."""
+    out = str(tmp_path / "b")
+    build_index(generate_corpus(120, seed=1), out, hot_df=60)
+    build_index(generate_corpus(120, seed=2), out, hot_df=60)
+    from quickray.engine import Index
+    from quickray.oracle import Oracle
+
+    idx = Index(out)
+    oracle = Oracle(generate_corpus(120, seed=2))
+    assert idx.stats["total_tokens"] == oracle.total_tokens
+
+
+def test_layout_param_change_invalidates(tmp_path):
+    """Resuming with different shuffle layout params must rebuild, not
+    silently mix chunk bounds."""
+    import os
+
+    out = str(tmp_path / "b")
+    tbl = generate_corpus(120, seed=1)
+    build_index(tbl, out, hot_df=60, durable_shuffle=True, shuffle_chunks=4)
+    build_index(tbl, out, hot_df=60, durable_shuffle=True, shuffle_chunks=2)
+    import json
+
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    chunk_keys = [k for k in man["phases"] if k.startswith("postings:")]
+    assert len(chunk_keys) == 2  # stale 4-chunk layout fully replaced
+
+
+def test_custom_id_col_name(tmp_path):
+    """id_col other than 'doc_id' runs the whole build (regression:
+    the postings phase used to read a literal 'doc_id' column)."""
+    import pyarrow as pa
+
+    tbl = generate_corpus(60, seed=4)
+    n = tbl.num_rows
+    tbl = tbl.append_column("my_id", pa.array(range(n), pa.int64()))
+    out = str(tmp_path / "b")
+    r = build_index(tbl, out, id_col="my_id", hot_df=50)
+    assert r.stats["n_docs"] == n
+    from quickray.engine import Index
+
+    assert Index(out).vocab_size > 0
