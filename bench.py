@@ -120,7 +120,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         extra["build_docs_per_sec"] = n_docs / stages["build_docs"]
 
         # ---- query latency: reference set, index loaded once ----
-        eng = LocalEngine(Index(out))
+        eng = LocalEngine(Index(out, preload_top_df=64))
         queries = make_query_set(eng.index.df_map(), langs=P.DOC_LANGS)
         for q in queries[:4]:
             eng.search(q)  # warm the posting cache
