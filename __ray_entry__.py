@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data extras
         "dedup_exact": P.dedup_exact_pipeline,
         "token_stats": P.token_stats_pipeline,
+        "token_counts": P.token_counts_pipeline,
         "text_quality": P.quality_pipeline,
         "ngram_jaccard": P.ngram_jaccard_pipeline,
         "ann_cosine_topk": P.ann_topk_pipeline,
@@ -231,6 +232,15 @@ ORDER BY cf DESC, term LIMIT 10
         "dedup_exact": """
 SELECT min(doc_id)::BIGINT AS keep_doc_id, count(*)::BIGINT AS group_size
 FROM documents GROUP BY text
+""",
+        "token_counts": r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '')) END::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+'))::BIGINT
+         AS n_bpe_tokens
+FROM documents
 """,
         "token_stats": f"""
 WITH {_TOK}

@@ -132,6 +132,36 @@ class LangId:
         )
 
 
+import re as _re
+
+# BPE-ish pre-tokenization classes (letters / digits / punctuation runs
+# on lowercased text) — the shape of a GPT-2-style pre-tokenizer,
+# shared verbatim with the DuckDB oracle regex. ASCII \s to match RE2.
+BPE_RE = _re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]+", _re.ASCII)
+_WS_RE = _re.compile(r"\s+", _re.ASCII)
+
+
+def token_counts(ds: "rd.Dataset") -> "rd.Dataset":
+    """Per-doc token counts under two tokenizations a training-data
+    pipeline actually budgets with: whitespace split and a BPE-ish
+    regex (subword pre-tokenizer classes)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ws = [len([t for t in _WS_RE.split(s.strip()) if t]) if s else 0
+              for s in texts]
+        bpe = [len(BPE_RE.findall(s.lower())) if s else 0 for s in texts]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_ws_tokens": pa.array(ws, pa.int64()),
+                "n_bpe_tokens": pa.array(bpe, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
 def rolling_fingerprints(ds: "rd.Dataset", window: int = 8) -> "rd.Dataset":
     """Rabin-style rolling hash over the token stream: per doc, the min
     of window polynomial hashes — a cheap shift-robust fingerprint."""

@@ -356,6 +356,12 @@ def embedding_near_dup_pipeline(sf_dir: str) -> pa.Table:
     return embedding_near_dup_pairs(_emb_ds(sf_dir), threshold=0.4)
 
 
+def token_counts_pipeline(sf_dir: str):
+    from quickray.extras.textstats import token_counts
+
+    return token_counts(_docs_ds(sf_dir))
+
+
 def fingerprint_pipeline(sf_dir: str):
     from quickray.extras.textstats import rolling_fingerprints
 
