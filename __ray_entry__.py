@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-stream batch operators
         "events_window": P.events_window_pipeline,
         "events_sessions": P.events_sessions_pipeline,
+        "top_users": P.top_users_by_value,
+        "lsh_near_dup": P.lsh_near_dup_pipeline,
         # non-SQL-expressible (driver records rows-only checks)
         "minhash_near_dup": P.minhash_pairs_pipeline,
         "simhash": P.simhash_pipeline,
@@ -292,6 +294,11 @@ SELECT a.vec_id AS a, b.vec_id AS b,
        round(list_cosine_similarity(a.e, b.e), 4) AS cosine
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+""",
+        "top_users": """
+SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 4) AS vsum
+FROM events GROUP BY user_id
+ORDER BY round(sum(value), 4) DESC, user_id LIMIT 10
 """,
         "events_window": """
 SELECT (epoch_us(ts) // 1000000) // 3600 AS window, event_type,

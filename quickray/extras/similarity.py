@@ -118,6 +118,95 @@ def embedding_near_dup_pairs(
     )
 
 
+def lsh_near_dup_pairs(
+    ds: "rd.Dataset",
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 11,
+    ndigits: int = 4,
+) -> pa.Table:
+    """Random-hyperplane LSH near-dup: sign-bit signatures -> banded
+    bucket groupby -> exact cosine verify inside buckets only. The
+    scale path for the N^2 similarity join: vectors meet exact scoring
+    only when a band of their sign signature collides (collision
+    probability (1 - theta/pi)^rows_per_band per band). Recall < 1 by
+    construction; every emitted pair is exact-verified >= threshold."""
+    rows_per_band = n_planes // bands
+    tbl = pa.Table.from_pylist(ds.take_all())
+    all_ids = np.asarray(tbl["vec_id"], dtype=np.int64)
+    mat = _normalize(_batch_mat(tbl))
+    o = np.argsort(all_ids)  # searchsorted side must be sorted
+    all_ids, mat = all_ids[o], mat[o]
+    side_ref = ray.put((mat, all_ids))
+    dim = mat.shape[1]
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    planes_ref = ray.put(planes)
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        m = _normalize(_batch_mat(batch))
+        bits = (m @ pl) > 0  # (n, n_planes)
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        out_id, out_band, out_key = [], [], []
+        for b in range(bands):
+            chunk = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
+            keys = chunk @ (1 << np.arange(rows_per_band))
+            out_id.extend(ids.tolist())
+            out_band.extend([b] * len(ids))
+            out_key.extend(keys.tolist())
+        return pa.table(
+            {
+                "vec_id": pa.array(out_id, pa.int64()),
+                "band": pa.array(out_band, pa.int64()),
+                "key": pa.array(out_key, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        from quickray.util import round_sql
+
+        ids = np.unique(np.asarray(group["vec_id"], dtype=np.int64))
+        if len(ids) < 2:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        mat_all, ids_all = ray.get(side_ref)
+        pos = np.searchsorted(ids_all, ids)
+        sub = mat_all[pos]
+        sims = sub @ sub.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pa.table(
+            {
+                "a": pa.array(ids[ai]),
+                "b": pa.array(ids[bi]),
+                "cosine": pa.array(round_sql(sims[ai, bi], ndigits)),
+            }
+        )
+
+    cand = (
+        ds.map_batches(bucket_rows, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    parts = cand.take_all()
+    if not parts:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+    a = np.array([r["a"] for r in parts], dtype=np.int64)
+    b = np.array([r["b"] for r in parts], dtype=np.int64)
+    c = np.array([r["cosine"] for r in parts], dtype=np.float64)
+    uniq, idx = np.unique(a * (1 << 32) + b, return_index=True)  # band dedup
+    order = idx[np.lexsort((b[idx], a[idx]))]
+    return pa.table(
+        {"a": pa.array(a[order]), "b": pa.array(b[order]),
+         "cosine": pa.array(c[order])}
+    )
+
+
 def _kmeans_lite(sample: np.ndarray, nlist: int, iters: int = 5) -> np.ndarray:
     """Deterministic k-means on a sample: first-nlist init, Lloyd iters."""
     centroids = sample[:nlist].copy()

@@ -229,6 +229,26 @@ def count_by_lang(sf_dir: str):
     return _docs_ds(sf_dir).groupby("lang").aggregate(Count(alias_name="n"))
 
 
+def top_users_by_value(sf_dir: str) -> pa.Table:
+    """Grouped-sum + top-k over the events stream (exact: integer
+    count + value-sum rounded identically on both sides)."""
+    t = (
+        _events_ds(sf_dir)
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="vsum"))
+        .to_pandas()
+    )
+    t["vsum"] = round_sql(t["vsum"].to_numpy(), 4)
+    t = t.sort_values(["vsum", "user_id"], ascending=[False, True]).head(10)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def lsh_near_dup_pipeline(sf_dir: str) -> pa.Table:
+    from quickray.extras.similarity import lsh_near_dup_pairs
+
+    return lsh_near_dup_pairs(_emb_ds(sf_dir), threshold=0.4)
+
+
 # ---------------------------------------------------------- training extras
 def dedup_exact_pipeline(sf_dir: str):
     from quickray.extras.dedup import exact_duplicates

@@ -86,3 +86,18 @@ def test_entry_smoke():
     df = _to_pandas(res)
     assert len(df) > 0
     assert set(df.columns) == {"query_id", "rank", "doc_id", "score"}
+
+
+def test_lsh_pairs_subset_of_exact():
+    """Every LSH-emitted pair must appear in the exact near-dup set
+    (same threshold); recall is positive."""
+    import __ray_entry__ as m
+
+    qs = m.queries()
+    lsh = _to_pandas(qs["lsh_near_dup"](SF_DIR))
+    exact = _to_pandas(qs["embedding_near_dup"](SF_DIR))
+    lset = set(zip(lsh["a"], lsh["b"]))
+    eset = set(zip(exact["a"], exact["b"]))
+    assert lset <= eset
+    assert len(lset) > 0
+    assert len(lset) / len(eset) >= 0.3  # LSH recall sanity floor
