@@ -153,8 +153,17 @@ def _accumulate_topk(
 
 
 class LocalEngine:
-    def __init__(self, index: Index):
+    def __init__(self, index: Index, global_stats: dict | None = None):
+        """``global_stats`` overrides scoring statistics when this index
+        is one doc-shard of a larger corpus (PartitionedEngine): keys
+        n_docs, avgdl, df (term -> corpus-wide df). BM25 then scores
+        shard-local postings with corpus-global idf/avgdl, which is what
+        makes doc-sharded scatter results equal a single global build."""
         self.index = index
+        g = global_stats or {}
+        self._n_docs = int(g.get("n_docs", index.n_docs))
+        self._avgdl = float(g.get("avgdl", index.avgdl))
+        self._df = g.get("df")
 
     # ------------------------------------------------------- set algebra
     def _leaf(self, term: str, q: Query) -> np.ndarray:
@@ -202,8 +211,9 @@ class LocalEngine:
         if not hit.any():
             return None
         pos = li_c[hit]
+        df = self._df.get(term, p.df) if self._df is not None else p.df
         contrib = bm25_contrib(
-            p.tfs[pos], p.dls[pos], p.df, self.index.n_docs, self.index.avgdl
+            p.tfs[pos], p.dls[pos], df, self._n_docs, self._avgdl
         )
         return cand[hit], contrib
 
@@ -219,7 +229,10 @@ class LocalEngine:
     def search(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (doc_ids, scores), rank-identical to the oracle."""
         terms = flat_or_terms(q.tree)
-        if terms is not None:
+        if terms is not None and self._df is None:
+            # block-max metadata was computed with THIS index's stats;
+            # under global-stat overrides (doc-sharded partition) the
+            # stored upper bounds don't apply — score exhaustively
             from quickray.wand import block_max_topk
 
             return block_max_topk(self, terms, q)
@@ -234,6 +247,61 @@ class LocalEngine:
                 "score": scores,
             }
         )
+
+
+class PartitionedEngine:
+    """Doc-sharded distributed serving — the reference's actual model
+    (farmhash doc-sharding + Sentinel broadcast/merge, sentinel.go:
+    137-187) realized over independent partition builds.
+
+    ``index_dirs`` are builds over contiguous (repo, path) key ranges of
+    one corpus, in global key order; global doc_id = partition base +
+    local id then equals the single-build dense rank. Scoring uses
+    corpus-GLOBAL statistics (N, avgdl, per-term df summed across
+    partitions) injected into each partition engine, so results are
+    rank- and score-identical to one global build (tested). Each
+    partition's search is the per-worker evaluation; the merge of
+    per-partition top-k under the shared (-score, doc_id) order is the
+    Sentinel gather — correct because the global order restricted to a
+    partition preserves relative order, so every global top-k doc
+    survives its partition's top-k."""
+
+    def __init__(self, index_dirs: list[str]):
+        idxs = [Index(d) for d in index_dirs]
+        counts = [ix.n_docs for ix in idxs]
+        self.bases = np.concatenate(([0], np.cumsum(counts[:-1]))).astype(np.int64)
+        n_docs = int(sum(counts))
+        total_tokens = int(sum(ix.stats["total_tokens"] for ix in idxs))
+        df: dict[str, int] = {}
+        for ix in idxs:
+            for t, d in ix.df_map().items():
+                df[t] = df.get(t, 0) + d
+        g = {
+            "n_docs": n_docs,
+            "avgdl": total_tokens / max(1, n_docs),
+            "df": df,
+        }
+        self.engines = [LocalEngine(ix, global_stats=g) for ix in idxs]
+        self.n_docs = n_docs
+        self.avgdl = g["avgdl"]
+
+    def candidates(self, q: Query) -> np.ndarray:
+        """Boolean evaluation across partitions (disjoint doc sets ->
+        bag union of per-partition results, sentinel.go:137-187)."""
+        return np.concatenate(
+            [e.candidates(q) + b for e, b in zip(self.engines, self.bases)]
+        )
+
+    def search(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
+        docs, scores = [], []
+        for e, b in zip(self.engines, self.bases):
+            ids, sc = e.search(q)
+            docs.append(ids + b)
+            scores.append(sc)
+        d = np.concatenate(docs)
+        s = np.concatenate(scores)
+        order = np.lexsort((d, -s))[: q.k]
+        return d[order], s[order]
 
 
 class QueryEngineActor:

@@ -1,0 +1,57 @@
+"""Doc-sharded partition builds + PartitionedEngine == one global build
+(the reference's worker-shard + Sentinel model; rank- AND
+score-identical because partitions score with corpus-global stats)."""
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+from quickray.build import build_index
+from quickray.engine import Index, LocalEngine, PartitionedEngine
+from quickray.queryset import make_query_set
+
+
+@pytest.fixture(scope="module")
+def split_engines(small_corpus, built_index, tmp_path_factory):
+    """Split the fixture corpus into 3 contiguous key ranges (sorted by
+    (repo, path) — the global doc_id order) and build each part."""
+    keys = pc.binary_join_element_wise(
+        small_corpus["repo"].combine_chunks(),
+        small_corpus["path"].combine_chunks(),
+        "\x01",
+    )
+    order = pc.sort_indices(keys)
+    srt = small_corpus.take(order)
+    n = srt.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    dirs = []
+    root = tmp_path_factory.mktemp("parts")
+    for i in range(3):
+        part = srt.slice(cuts[i], cuts[i + 1] - cuts[i])
+        out = str(root / f"p{i}")
+        build_index(part, out, hot_df=300, num_salts=2)
+        dirs.append(out)
+    return PartitionedEngine(dirs), LocalEngine(Index(built_index))
+
+
+def test_partitioned_equals_global(split_engines, oracle):
+    peng, geng = split_engines
+    assert peng.n_docs == geng.index.n_docs
+    assert peng.avgdl == pytest.approx(geng.index.avgdl, rel=1e-15)
+    queries = make_query_set(oracle.df())
+    for q in queries:
+        g_ids, g_sc = geng.search(q)
+        p_ids, p_sc = peng.search(q)
+        assert p_ids.tolist() == g_ids.tolist(), q.id
+        assert np.allclose(p_sc, g_sc, rtol=1e-12, atol=1e-15), q.id
+
+
+def test_partitioned_candidates_match(split_engines):
+    peng, geng = split_engines
+    from quickray.query import And, Or, Query, Term
+
+    q = Query(
+        tree=Or((And((Term("func"), Term("return"))), Term("import"))),
+        on_flag=1 << 0,
+    )
+    assert sorted(peng.candidates(q).tolist()) == geng.candidates(q).tolist()
