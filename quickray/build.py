@@ -211,6 +211,65 @@ class _Source:
         return ds, float(mod)
 
 
+def build_partitioned(
+    source,
+    out_root: str,
+    n_partitions: int,
+    **build_kwargs,
+) -> list[str]:
+    """10^12-scale orchestration unit: split the corpus into contiguous
+    (repo, path) key ranges, repartition the corpus storage once (hive
+    by range id — one streaming pass, no shuffle of content beyond the
+    write), then run one INDEPENDENT build_index per range. Each
+    partition is separately resumable/retryable; doc_ids are dense per
+    partition, and engine.PartitionedEngine serves the union with
+    corpus-global statistics, provably equal to one global build
+    (tests/test_partitioned.py). Cut keys come from exact driver-side
+    key quantiles here; at extreme scale use a distributed sort sample.
+    """
+    import pyarrow.compute as pc_
+
+    src = _Source(source)
+    keys = src.keys_table()
+    r = keys["repo"]
+    p = keys["path"]
+    if isinstance(r, pa.ChunkedArray):
+        r, p = r.combine_chunks(), p.combine_chunks()
+    joined = pc_.binary_join_element_wise(r, p, "\x01")
+    srt = joined.take(pc_.array_sort_indices(joined))
+    n = len(srt)
+    n_partitions = max(1, min(n_partitions, n))
+    cuts = [
+        srt[(i * n) // n_partitions].as_py() for i in range(1, n_partitions)
+    ]
+    cuts_arr = np.array(cuts, dtype=object)
+
+    def add_kpart(t: pa.Table) -> pa.Table:
+        from quickray.tokenize import row_keys
+
+        k = np.asarray(row_keys(t), dtype=object)
+        kp = np.searchsorted(cuts_arr, k, side="right")
+        return t.append_column("kpart", pa.array(kp, pa.int64()))
+
+    corpus_root = os.path.join(out_root, "corpus_parts")
+    done = os.path.join(corpus_root, "_DONE")
+    if not os.path.exists(done):
+        src.read(
+            ["repo", "path", "commit", "lang", "content"]
+        ).map_batches(add_kpart, batch_format="pyarrow").write_parquet(
+            corpus_root, partition_cols=["kpart"]
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    dirs = []
+    for i in range(n_partitions):
+        part_src = os.path.join(corpus_root, f"kpart={i}")
+        out = os.path.join(out_root, f"part_{i:05d}")
+        build_index(part_src, out, **build_kwargs)
+        dirs.append(out)
+    return dirs
+
+
 def build_index(
     source,
     out_dir: str,

@@ -46,6 +46,32 @@ def test_partitioned_equals_global(split_engines, oracle):
         assert np.allclose(p_sc, g_sc, rtol=1e-12, atol=1e-15), q.id
 
 
+def test_build_partitioned_orchestrator(tmp_path):
+    """End-to-end orchestration API: repartition-by-key-range + N
+    independent builds -> PartitionedEngine equals a global build."""
+    import pyarrow.parquet as pq
+
+    from quickray.build import build_partitioned
+    from quickray.corpus import generate_corpus
+    from quickray.query import Or, Query, Term
+
+    tbl = generate_corpus(200, seed=9)
+    src = str(tmp_path / "corpus.parquet")
+    pq.write_table(tbl, src)
+    dirs = build_partitioned(src, str(tmp_path / "parts"), 3, hot_df=100)
+    assert len(dirs) == 3
+    peng = PartitionedEngine(dirs)
+    gout = str(tmp_path / "global")
+    build_index(tbl, gout, hot_df=100)
+    geng = LocalEngine(Index(gout))
+    assert peng.n_docs == 200
+    q = Query(tree=Or((Term("func"), Term("return"))), k=25)
+    g_ids, g_sc = geng.search(q)
+    p_ids, p_sc = peng.search(q)
+    assert p_ids.tolist() == g_ids.tolist()
+    assert np.allclose(p_sc, g_sc, rtol=1e-12)
+
+
 def test_partitioned_candidates_match(split_engines):
     peng, geng = split_engines
     from quickray.query import And, Or, Query, Term
