@@ -143,7 +143,22 @@ class _Source:
     def __init__(self, source):
         self.raw = source
         if isinstance(source, str):
-            self.fingerprint = f"path:{source}"
+            # content-sensitive from parquet footers only: a rewritten
+            # file at the same path must invalidate (delta-rebuild flows
+            # depend on this; metadata read, no data scan)
+            sig = hashlib.sha256()
+            try:
+                dset = pads.dataset(source, format="parquet")
+                for frag in sorted(dset.get_fragments(), key=lambda f: f.path):
+                    md = frag.metadata
+                    sig.update(
+                        f"{os.path.basename(frag.path)}:{md.num_rows}:"
+                        f"{md.serialized_size}:"
+                        f"{sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))}".encode()
+                    )
+                self.fingerprint = f"path:{source}:sig={sig.hexdigest()[:16]}"
+            except (OSError, pa.ArrowInvalid):
+                self.fingerprint = f"path:{source}"
         elif isinstance(source, pa.Table):
             # content-sensitive: same-shape different-content tables must
             # not resume into each other's build dir
@@ -230,18 +245,35 @@ def build_partitioned(
     import pyarrow.compute as pc_
 
     src = _Source(source)
-    keys = src.keys_table()
-    r = keys["repo"]
-    p = keys["path"]
-    if isinstance(r, pa.ChunkedArray):
-        r, p = r.combine_chunks(), p.combine_chunks()
-    joined = pc_.binary_join_element_wise(r, p, "\x01")
-    srt = joined.take(pc_.array_sort_indices(joined))
-    n = len(srt)
-    n_partitions = max(1, min(n_partitions, n))
-    cuts = [
-        srt[(i * n) // n_partitions].as_py() for i in range(1, n_partitions)
-    ]
+    # partition boundaries are persisted on first build and reused on
+    # every rerun — stable key ranges are what make a rerun on an
+    # updated corpus a DELTA build: only partitions whose bytes changed
+    # re-index (build_index's content-sensitive fingerprint skips the
+    # rest), the batch analog of the reference's AddDoc/DeleteDoc upsert
+    os.makedirs(out_root, exist_ok=True)
+    spec_path = os.path.join(out_root, "partition_spec.json")
+    if os.path.exists(spec_path):
+        with open(spec_path) as f:
+            spec = json.load(f)
+        cuts = spec["cuts"]
+        n_partitions = spec["n_partitions"]
+    else:
+        keys = src.keys_table()
+        r = keys["repo"]
+        p = keys["path"]
+        if isinstance(r, pa.ChunkedArray):
+            r, p = r.combine_chunks(), p.combine_chunks()
+        joined = pc_.binary_join_element_wise(r, p, "\x01")
+        srt = joined.take(pc_.array_sort_indices(joined))
+        n = len(srt)
+        n_partitions = max(1, min(n_partitions, n))
+        cuts = [
+            srt[(i * n) // n_partitions].as_py()
+            for i in range(1, n_partitions)
+        ]
+        with open(spec_path + ".tmp", "w") as f:
+            json.dump({"cuts": cuts, "n_partitions": n_partitions}, f)
+        os.replace(spec_path + ".tmp", spec_path)
     cuts_arr = np.array(cuts, dtype=object)
 
     def add_kpart(t: pa.Table) -> pa.Table:
@@ -251,23 +283,66 @@ def build_partitioned(
         kp = np.searchsorted(cuts_arr, k, side="right")
         return t.append_column("kpart", pa.array(kp, pa.int64()))
 
+    # corpus repartition runs per source version (fingerprinted)
     corpus_root = os.path.join(out_root, "corpus_parts")
-    done = os.path.join(corpus_root, "_DONE")
-    if not os.path.exists(done):
+    ver_path = os.path.join(corpus_root, "_VERSION")
+    prev = open(ver_path).read() if os.path.exists(ver_path) else None
+    if prev != src.fingerprint:
+        import shutil as _sh
+
+        _sh.rmtree(corpus_root, ignore_errors=True)
         src.read(
             ["repo", "path", "commit", "lang", "content"]
         ).map_batches(add_kpart, batch_format="pyarrow").write_parquet(
             corpus_root, partition_cols=["kpart"]
         )
-        with open(done, "w") as f:
-            f.write("ok")
+        with open(ver_path, "w") as f:
+            f.write(src.fingerprint)
     dirs = []
     for i in range(n_partitions):
         part_src = os.path.join(corpus_root, f"kpart={i}")
         out = os.path.join(out_root, f"part_{i:05d}")
-        build_index(part_src, out, **build_kwargs)
+        # data-based signature (order-independent row crc sum), not
+        # file-based: a corpus rewrite with identical rows must NOT
+        # re-index the partition — this is what turns a rerun into a
+        # delta build touching only changed key ranges
+        build_index(
+            part_src, out,
+            fingerprint=f"datasig:{_partition_data_sig(part_src)}",
+            **build_kwargs,
+        )
         dirs.append(out)
     return dirs
+
+
+def _partition_data_sig(part_dir: str) -> str:
+    """Order-independent content signature of one corpus partition:
+    sum of per-row crc32(repo, path, content) + row count. One streaming
+    columnar read; at extreme scale an upstream change-feed replaces
+    this probe."""
+    import zlib
+
+    def sigb(t: pa.Table) -> pa.Table:
+        s = 0
+        for r, p, c in zip(
+            t["repo"].to_pylist(), t["path"].to_pylist(), t["content"].to_pylist()
+        ):
+            s += zlib.crc32(f"{r}\x01{p}\x01{c}".encode())
+        return pa.table(
+            {
+                "s": pa.array([s % (1 << 62)], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        rd.read_parquet(part_dir, columns=["repo", "path", "content"])
+        .map_batches(sigb, batch_format="pyarrow")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+    return f"{int(agg['s']) % (1 << 62)}:{int(agg['n'])}"
 
 
 def build_index(
@@ -284,11 +359,16 @@ def build_index(
     shuffle_chunks: int = 4,
     tokenizer_concurrency: int | None = None,
     block_size: int = BLOCK_SIZE,
+    fingerprint: str | None = None,
 ) -> BuildResult:
     """Run (or resume) the full index build. Ray must be initialised by
-    the caller (never calls ray.init itself)."""
+    the caller (never calls ray.init itself). ``fingerprint`` overrides
+    the source identity (callers that know a stronger content signature,
+    e.g. build_partitioned's per-partition data signature)."""
     langs = langs or LANGS
     src = _Source(source)
+    if fingerprint is not None:
+        src.fingerprint = fingerprint
     # layout-critical params join the fingerprint: resuming a build dir
     # with a different shuffle/segment layout must invalidate, never
     # silently mix chunk bounds (the partials/segments on disk encode

@@ -72,6 +72,52 @@ def test_build_partitioned_orchestrator(tmp_path):
     assert np.allclose(p_sc, g_sc, rtol=1e-12)
 
 
+def test_delta_rebuild_touches_only_changed_partition(tmp_path):
+    """Upsert analog (indexer.go:70-97 add/delete): rerunning
+    build_partitioned on an updated corpus re-indexes ONLY the key-range
+    partitions whose rows changed; results reflect the new content."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quickray.build import build_partitioned
+    from quickray.corpus import generate_corpus
+    from quickray.query import Query, Term
+
+    tbl = generate_corpus(200, seed=9)
+    src = str(tmp_path / "corpus.parquet")
+    pq.write_table(tbl, src)
+    root = str(tmp_path / "parts")
+    dirs = build_partitioned(src, root, 3, hot_df=100)
+    before = {
+        d: json.load(open(os.path.join(d, "manifest.json")))["phases"][
+            "segments"]["finished_at"]
+        for d in dirs
+    }
+    # modify ONE row's content (a term unique to the change) and rerun
+    contents = tbl["content"].to_pylist()
+    contents[5] = contents[5] + " zz_delta_marker_zz"
+    tbl2 = tbl.set_column(
+        tbl.schema.get_field_index("content"), "content",
+        pa.array(contents, pa.string()),
+    )
+    pq.write_table(tbl2, src)
+    dirs2 = build_partitioned(src, root, 3, hot_df=100)
+    assert dirs2 == dirs
+    after = {
+        d: json.load(open(os.path.join(d, "manifest.json")))["phases"][
+            "segments"]["finished_at"]
+        for d in dirs
+    }
+    rebuilt = [d for d in dirs if after[d] != before[d]]
+    assert len(rebuilt) == 1  # only the partition holding row 5
+    peng = PartitionedEngine(dirs)
+    ids, _ = peng.search(Query(tree=Term("zz_delta_marker_zz"), k=5))
+    assert len(ids) == 1
+
+
 def test_partitioned_candidates_match(split_engines):
     peng, geng = split_engines
     from quickray.query import And, Or, Query, Term
