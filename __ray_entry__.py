@@ -237,10 +237,13 @@ FROM documents GROUP BY text
 """,
         "token_counts": r"""
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                                 x -> x <> '')) END::BIGINT AS n_ws_tokens,
-       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+'))::BIGINT
+       CASE WHEN text IS NULL OR trim(text, e' \t\n\f\r') = '' THEN 0
+            ELSE len(list_filter(
+                   regexp_split_to_array(trim(text, e' \t\n\f\r'),
+                                         '[ \t\n\f\r]+'),
+                   x -> x <> '')) END::BIGINT AS n_ws_tokens,
+       coalesce(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]+')), 0)::BIGINT
          AS n_bpe_tokens
 FROM documents
 """,

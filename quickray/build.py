@@ -143,9 +143,10 @@ class _Source:
     def __init__(self, source):
         self.raw = source
         if isinstance(source, str):
-            # content-sensitive from parquet footers only: a rewritten
-            # file at the same path must invalidate (delta-rebuild flows
-            # depend on this; metadata read, no data scan)
+            # content-sensitive from parquet footers: compressed sizes +
+            # column statistics change on practically any rewrite (a
+            # crafted same-size same-stats edit can still slip past —
+            # delta flows that need certainty use data_signature())
             sig = hashlib.sha256()
             try:
                 dset = pads.dataset(source, format="parquet")
@@ -153,9 +154,18 @@ class _Source:
                     md = frag.metadata
                     sig.update(
                         f"{os.path.basename(frag.path)}:{md.num_rows}:"
-                        f"{md.serialized_size}:"
-                        f"{sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))}".encode()
+                        f"{md.serialized_size}".encode()
                     )
+                    for i in range(md.num_row_groups):
+                        rg = md.row_group(i)
+                        for c in range(rg.num_columns):
+                            col = rg.column(c)
+                            st = col.statistics
+                            sig.update(
+                                f"{col.total_compressed_size}:"
+                                f"{st.min if st and st.has_min_max else ''}:"
+                                f"{st.max if st and st.has_min_max else ''}".encode()
+                            )
                 self.fingerprint = f"path:{source}:sig={sig.hexdigest()[:16]}"
             except (OSError, pa.ArrowInvalid):
                 self.fingerprint = f"path:{source}"
@@ -195,6 +205,37 @@ class _Source:
             return self.raw.select(["repo", "path"])
         refs = self.raw.select_columns(["repo", "path"]).to_arrow_refs()
         return pa.concat_tables(ray.get(refs))
+
+    def data_signature(self) -> str:
+        """Order-independent full-content signature (sum of per-row
+        crc32(repo, path, content) + count) — one streaming columnar
+        pass over any source form. The certain gate for delta flows,
+        where footer/sample fingerprints are not enough."""
+        import zlib
+
+        def sigb(t: pa.Table) -> pa.Table:
+            s = 0
+            for r, p, c in zip(
+                t["repo"].to_pylist(), t["path"].to_pylist(),
+                t["content"].to_pylist(),
+            ):
+                s += zlib.crc32(f"{r}\x01{p}\x01{c or ''}".encode())
+            return pa.table(
+                {
+                    "s": pa.array([s % (1 << 62)], pa.int64()),
+                    "n": pa.array([t.num_rows], pa.int64()),
+                }
+            )
+
+        from ray.data.aggregate import Sum
+
+        agg = (
+            self.read(["repo", "path", "content"])
+            .map_batches(sigb, batch_format="pyarrow")
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        )
+        s = int(agg["s"] or 0)
+        return f"datasig:{s % (1 << 62)}:{int(agg['n'] or 0)}"
 
     def sample_content(self, mod: int) -> tuple["rd.Dataset", float]:
         """~1/mod deterministic sample of the content column and the
@@ -242,8 +283,6 @@ def build_partitioned(
     (tests/test_partitioned.py). Cut keys come from exact driver-side
     key quantiles here; at extreme scale use a distributed sort sample.
     """
-    import pyarrow.compute as pc_
-
     src = _Source(source)
     # partition boundaries are persisted on first build and reused on
     # every rerun — stable key ranges are what make a rerun on an
@@ -258,13 +297,9 @@ def build_partitioned(
         cuts = spec["cuts"]
         n_partitions = spec["n_partitions"]
     else:
-        keys = src.keys_table()
-        r = keys["repo"]
-        p = keys["path"]
-        if isinstance(r, pa.ChunkedArray):
-            r, p = r.combine_chunks(), p.combine_chunks()
-        joined = pc_.binary_join_element_wise(r, p, "\x01")
-        srt = joined.take(pc_.array_sort_indices(joined))
+        from quickray.docids import rank_keys
+
+        srt = rank_keys(src.keys_table())  # sorted keys + duplicate guard
         n = len(srt)
         n_partitions = max(1, min(n_partitions, n))
         cuts = [
@@ -283,11 +318,14 @@ def build_partitioned(
         kp = np.searchsorted(cuts_arr, k, side="right")
         return t.append_column("kpart", pa.array(kp, pa.int64()))
 
-    # corpus repartition runs per source version (fingerprinted)
+    # corpus repartition runs per source version, gated by the FULL data
+    # signature (footer/sample fingerprints miss same-size edits and
+    # can't see ray Dataset contents at all)
     corpus_root = os.path.join(out_root, "corpus_parts")
     ver_path = os.path.join(corpus_root, "_VERSION")
+    src_sig = src.data_signature()
     prev = open(ver_path).read() if os.path.exists(ver_path) else None
-    if prev != src.fingerprint:
+    if prev != src_sig:
         import shutil as _sh
 
         _sh.rmtree(corpus_root, ignore_errors=True)
@@ -297,52 +335,28 @@ def build_partitioned(
             corpus_root, partition_cols=["kpart"]
         )
         with open(ver_path, "w") as f:
-            f.write(src.fingerprint)
+            f.write(src_sig)
+    import glob as _glob
+
     dirs = []
     for i in range(n_partitions):
         part_src = os.path.join(corpus_root, f"kpart={i}")
         out = os.path.join(out_root, f"part_{i:05d}")
+        if not _glob.glob(os.path.join(part_src, "*.parquet")):
+            # a key range emptied by deletes: no hive dir is written;
+            # served corpus simply omits this partition
+            continue
         # data-based signature (order-independent row crc sum), not
         # file-based: a corpus rewrite with identical rows must NOT
         # re-index the partition — this is what turns a rerun into a
         # delta build touching only changed key ranges
         build_index(
             part_src, out,
-            fingerprint=f"datasig:{_partition_data_sig(part_src)}",
+            fingerprint=_Source(part_src).data_signature(),
             **build_kwargs,
         )
         dirs.append(out)
     return dirs
-
-
-def _partition_data_sig(part_dir: str) -> str:
-    """Order-independent content signature of one corpus partition:
-    sum of per-row crc32(repo, path, content) + row count. One streaming
-    columnar read; at extreme scale an upstream change-feed replaces
-    this probe."""
-    import zlib
-
-    def sigb(t: pa.Table) -> pa.Table:
-        s = 0
-        for r, p, c in zip(
-            t["repo"].to_pylist(), t["path"].to_pylist(), t["content"].to_pylist()
-        ):
-            s += zlib.crc32(f"{r}\x01{p}\x01{c}".encode())
-        return pa.table(
-            {
-                "s": pa.array([s % (1 << 62)], pa.int64()),
-                "n": pa.array([t.num_rows], pa.int64()),
-            }
-        )
-
-    from ray.data.aggregate import Sum
-
-    agg = (
-        rd.read_parquet(part_dir, columns=["repo", "path", "content"])
-        .map_batches(sigb, batch_format="pyarrow")
-        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
-    )
-    return f"{int(agg['s']) % (1 << 62)}:{int(agg['n'])}"
 
 
 def build_index(

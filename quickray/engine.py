@@ -160,10 +160,11 @@ class LocalEngine:
         shard-local postings with corpus-global idf/avgdl, which is what
         makes doc-sharded scatter results equal a single global build."""
         self.index = index
+        self._global = global_stats is not None
         g = global_stats or {}
         self._n_docs = int(g.get("n_docs", index.n_docs))
         self._avgdl = float(g.get("avgdl", index.avgdl))
-        self._df = g.get("df")
+        self._df = g.get("df") or ({} if self._global else None)
 
     # ------------------------------------------------------- set algebra
     def _leaf(self, term: str, q: Query) -> np.ndarray:
@@ -229,7 +230,7 @@ class LocalEngine:
     def search(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (doc_ids, scores), rank-identical to the oracle."""
         terms = flat_or_terms(q.tree)
-        if terms is not None and self._df is None:
+        if terms is not None and not self._global:
             # block-max metadata was computed with THIS index's stats;
             # under global-stat overrides (doc-sharded partition) the
             # stored upper bounds don't apply — score exhaustively

@@ -136,9 +136,12 @@ import re as _re
 
 # BPE-ish pre-tokenization classes (letters / digits / punctuation runs
 # on lowercased text) — the shape of a GPT-2-style pre-tokenizer,
-# shared verbatim with the DuckDB oracle regex. ASCII \s to match RE2.
-BPE_RE = _re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]+", _re.ASCII)
-_WS_RE = _re.compile(r"\s+", _re.ASCII)
+# shared with the DuckDB oracle regex. The whitespace class is spelled
+# out as RE2's \s ([\t\n\f\r ] — NO \v, and no Unicode spaces, unlike
+# Python's \s even under re.ASCII) so both sides count identically.
+_RE2_WS = " \t\n\f\r"
+BPE_RE = _re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]+")
+_WS_RE = _re.compile(f"[{_RE2_WS}]+")
 
 
 def token_counts(ds: "rd.Dataset") -> "rd.Dataset":
@@ -148,8 +151,10 @@ def token_counts(ds: "rd.Dataset") -> "rd.Dataset":
 
     def per_batch(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        ws = [len([t for t in _WS_RE.split(s.strip()) if t]) if s else 0
-              for s in texts]
+        ws = [
+            len([t for t in _WS_RE.split(s.strip(_RE2_WS)) if t]) if s else 0
+            for s in texts
+        ]
         bpe = [len(BPE_RE.findall(s.lower())) if s else 0 for s in texts]
         return pa.table(
             {

@@ -117,6 +117,24 @@ def test_delta_rebuild_touches_only_changed_partition(tmp_path):
     ids, _ = peng.search(Query(tree=Term("zz_delta_marker_zz"), k=5))
     assert len(ids) == 1
 
+    # delete an entire key range (DeleteDoc analog): the emptied
+    # partition is dropped, the rest keep serving
+    spec = json.load(open(os.path.join(root, "partition_spec.json")))
+    first_cut = spec["cuts"][0]
+    keys = [
+        f"{r}\x01{p}"
+        for r, p in zip(tbl2["repo"].to_pylist(), tbl2["path"].to_pylist())
+    ]
+    keep = [i for i, k in enumerate(keys) if k >= first_cut]
+    tbl3 = tbl2.take(keep)
+    pq.write_table(tbl3, src)
+    dirs3 = build_partitioned(src, root, 3, hot_df=100)
+    assert len(dirs3) == 2
+    peng3 = PartitionedEngine(dirs3)
+    assert peng3.n_docs == len(keep)
+    ids3, _ = peng3.search(Query(tree=Term("zz_delta_marker_zz"), k=5))
+    assert len(ids3) <= 1  # row 5 may or may not be in the kept range
+
 
 def test_partitioned_candidates_match(split_engines):
     peng, geng = split_engines
