@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from quickray.codec import decode_postings, varint_decode
-from quickray.query import And, Or, Query, Term, collect_terms, flat_or_terms, query_from_json
+from quickray.query import And, Query, Term, collect_terms, flat_or_terms, query_from_json
 from quickray.scoring import bm25_contrib, flags_mask
 
 

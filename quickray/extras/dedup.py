@@ -19,7 +19,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from quickray.tokenize import flatten_tokens, tokenize_py
+from quickray.tokenize import tokenize_py
 
 _MERSENNE = (1 << 61) - 1
 

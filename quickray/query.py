@@ -7,7 +7,7 @@ Empty terms are elided (gen/term_query.go's NewTermQuery behavior).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Union
 
 Tree = Union["Term", "And", "Or"]
