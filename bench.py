@@ -181,7 +181,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 
 # ---------------------------------------------------------------- scaling
-def scaling_child(corpus_path: str, num_cpus: int, out_json: str) -> None:
+def scaling_child(
+    corpus_path: str, num_cpus: int, out_json: str, n_builds: int = 2
+) -> None:
     """One parallelism level: fresh Ray session, warmup build on a small
     corpus (clusters are long-lived — the criterion is steady-state
     throughput, not process spawn + import latency), then the measured
@@ -207,7 +209,7 @@ def scaling_child(corpus_path: str, num_cpus: int, out_json: str) -> None:
             _build_corpus_index(
                 corpus_path, os.path.join(SCRATCH, f"scaleidx_{num_cpus}")
             )
-            for _ in range(2)
+            for _ in range(max(1, n_builds))
         ]
         r = min(runs, key=lambda x: x["sec"])
         r["num_cpus"] = num_cpus
@@ -289,10 +291,11 @@ def main() -> None:
                     help=argparse.SUPPRESS)
     ap.add_argument("--corpus", help=argparse.SUPPRESS)
     ap.add_argument("--out", help=argparse.SUPPRESS)
+    ap.add_argument("--builds", type=int, default=2, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.scaling_child:
-        scaling_child(args.corpus, args.cpus, args.out)
+        scaling_child(args.corpus, args.cpus, args.out, args.builds)
         return
     if args.scaling:
         small, big = (int(x) for x in args.scaling_cpus.split(","))

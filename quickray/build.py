@@ -372,6 +372,7 @@ def build_index(
     durable_shuffle: bool = False,
     shuffle_chunks: int = 4,
     tokenizer_concurrency: int | None = None,
+    tokenizer_batch_size: int = 4096,
     block_size: int = BLOCK_SIZE,
     fingerprint: str | None = None,
 ) -> BuildResult:
@@ -562,7 +563,7 @@ def build_index(
                 Tokenizer,
                 fn_constructor_kwargs=tok_kwargs,
                 batch_format="pyarrow",
-                batch_size=1024,
+                batch_size=tokenizer_batch_size,
                 concurrency=tokenizer_concurrency,
                 num_cpus=1,
             )
@@ -573,7 +574,11 @@ def build_index(
         return ds.map_batches(
             make_run_tokenizer(out_dir, **tok_kwargs),
             batch_format="pyarrow",
-            batch_size=1024,
+            # larger batches -> fewer, longer runs per term -> fewer
+            # shuffle rows (measured 2x on the postings phase); bound by
+            # batch_size x doc size per task heap — lower it for corpora
+            # of very large files
+            batch_size=tokenizer_batch_size,
         )
 
     def _dl_bits_ref():
