@@ -50,9 +50,20 @@ def _ident_pool() -> np.ndarray:
     )
 
 
-def generate_corpus(n_docs: int, seed: int = 42) -> pa.Table:
-    """Generate the F1 corpus as a pyarrow Table (deterministic)."""
-    rng = np.random.default_rng(seed)
+def generate_corpus(
+    n_docs: int, seed: int = 42, start: int = 0, total_docs: int | None = None
+) -> pa.Table:
+    """Generate the F1 corpus as a pyarrow Table (deterministic).
+
+    ``start``/``total_docs`` offset global doc indices so corpora beyond
+    Arrow's 2 GiB single-array limit are generated in chunks
+    (ensure_corpus_parquet) with consistent repo/path naming; the
+    default start=0 keeps the historical rng stream byte-for-byte."""
+    rng = (
+        np.random.default_rng(seed)
+        if start == 0
+        else np.random.default_rng([seed, start])
+    )
     idents = _ident_pool()
     kw_table = np.array(
         [np.array(_KEYWORDS[l].split(), dtype=object) for l in LANGS], dtype=object
@@ -102,22 +113,28 @@ def generate_corpus(n_docs: int, seed: int = 42) -> pa.Table:
     pieces = pc.binary_join_element_wise(tokens, suffix, sep, "")
     lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pieces)
     joined = pc.binary_join(lists, "")
-    uniq = pa.array([f"uq{i}x0 uq{i}x1" for i in range(n_docs)])
+    uniq = pa.array(
+        [f"uq{start + i}x0 uq{start + i}x1" for i in range(n_docs)]
+    )
     contents = pc.binary_join_element_wise(joined, uniq, "").to_numpy(
         zero_copy_only=False
     )
-    dup_idx = np.arange(996, n_docs, 997)  # planted exact duplicates
+    # planted exact duplicates at global positions g where g % 997 == 996
+    dup_idx = np.array(
+        [i for i in range(1, n_docs) if (start + i) % 997 == 996], np.int64
+    )
     contents[dup_idx] = contents[dup_idx - 1]
 
     repos = np.empty(n_docs, dtype=object)
     paths = np.empty(n_docs, dtype=object)
     commits = np.empty(n_docs, dtype=object)
-    n_repos = max(1, n_docs // 50)
+    n_repos = max(1, (total_docs or n_docs) // 50)
     for i in range(n_docs):
-        r = i % n_repos
+        g = start + i
+        r = g % n_repos
         repo = f"org{r // 16:04d}/repo{r % 16:04d}"
-        path = f"src/m{i // n_repos:06d}_{i % 7}.{_EXT[LANGS[lang_idx[i]]]}"
-        if (i // n_repos) % 9 == 0:
+        path = f"src/m{g // n_repos:06d}_{g % 7}.{_EXT[LANGS[lang_idx[i]]]}"
+        if (g // n_repos) % 9 == 0:
             path = f"test/{path[4:]}"
         repos[i] = repo
         paths[i] = path
@@ -148,16 +165,22 @@ def ensure_corpus_parquet(
     if os.path.exists(done):
         return path
     os.makedirs(path, exist_ok=True)
-    table = generate_corpus(n_docs, seed)
-    shards = shards or max(1, min(32, n_docs // 4000))
-    per = (n_docs + shards - 1) // shards
-    for s in range(shards):
-        chunk = table.slice(s * per, per)
-        if chunk.num_rows:
-            pq.write_table(
-                chunk, os.path.join(path, f"corpus-{s:05d}.parquet"),
-                row_group_size=4096,
-            )
+    # generate in ≤1M-doc chunks (Arrow 2 GiB single-array limit)
+    gen_chunk = 1_000_000
+    shard_no = 0
+    for cstart in range(0, n_docs, gen_chunk):
+        cn = min(gen_chunk, n_docs - cstart)
+        table = generate_corpus(cn, seed, start=cstart, total_docs=n_docs)
+        shards_here = max(1, min(32, cn // 4000))
+        per = (cn + shards_here - 1) // shards_here
+        for s in range(shards_here):
+            chunk = table.slice(s * per, per)
+            if chunk.num_rows:
+                pq.write_table(
+                    chunk, os.path.join(path, f"corpus-{shard_no:05d}.parquet"),
+                    row_group_size=4096,
+                )
+                shard_no += 1
     with open(done, "w") as f:
         f.write("ok")
     return path
