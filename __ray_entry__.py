@@ -63,6 +63,65 @@ bits AS (
 )
 """
 
+# Ordered token positions per doc (for shingle / rolling-window SQL):
+# unnest + generate_subscripts zip together; empties are dropped and
+# positions re-ranked so rn is dense within each doc.
+_TOKP = """
+tok0 AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), 1) AS pos
+  FROM documents
+),
+tokp AS (
+  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM tok0 WHERE term <> ''
+),
+nt AS (SELECT doc_id, count(*)::BIGINT AS n FROM tokp GROUP BY doc_id)
+"""
+
+# rolling-fingerprint constants (textstats.rolling_fingerprints):
+# window hash = sum_j th[i+j] * B^j mod (2^31 - 1)
+_FP_P = (1 << 31) - 1
+_FP_B = 1000003
+_FP_COEFF = [1] * 8
+for _j in range(1, 8):
+    _FP_COEFF[_j] = _FP_COEFF[_j - 1] * _FP_B % _FP_P
+
+# language-ID profiles (textstats.LANG_PROFILES) as SQL VALUES rows
+_LANG_PROFILE_VALUES = """
+    ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),('de','ein'),
+    ('en','the'),('en','and'),('en','of'),('en','a'),('en','to'),('en','in'),('en','is'),
+    ('es','el'),('es','la'),('es','de'),('es','los'),('es','es'),('es','una'),
+    ('fr','le'),('fr','la'),('fr','les'),('fr','des'),('fr','est'),('fr','une'),
+    ('zh','de'),('zh','shi'),('zh','le'),('zh','zai'),('zh','he'),('zh','you')
+"""
+
+# exact cosine near-dup pairs — oracle for BOTH embedding_near_dup and
+# the high-recall lsh_near_dup configuration (pipelines docstring)
+_NEAR_DUP_SQL = """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+"""
+
+# exact cosine top-10 vs the vec_id=0 embedding — oracle for BOTH
+# ann_cosine_topk and the rank-exact (nprobe=4/8) ivf_ann_topk config
+_ANN_TOPK_SQL = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 4) AS cosine
+FROM embeddings
+ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 4) DESC,
+         vec_id
+LIMIT 10
+"""
+
+
 # Exact BM25 contribution per (doc, term), matching quickray.scoring
 # operation-for-operation (k1=1.2, b=0.75, idf=ln((N-df+.5)/(df+.5)+1)).
 def _bm25_scored(terms: tuple[str, ...]) -> str:
@@ -130,13 +189,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": P.events_window_pipeline,
         "events_sessions": P.events_sessions_pipeline,
         "top_users": P.top_users_by_value,
+        # LSH / sketch pipelines, oracle-checked in their high-recall /
+        # rank-exact fixture configurations (see pipelines docstrings)
         "lsh_near_dup": P.lsh_near_dup_pipeline,
-        # non-SQL-expressible (driver records rows-only checks)
         "minhash_near_dup": P.minhash_pairs_pipeline,
         "simhash": P.simhash_pipeline,
         "doc_fingerprint": P.fingerprint_pipeline,
         "ivf_ann_topk": P.ivf_topk_pipeline,
         "langid": P.langid_pipeline,
+        # non-SQL-expressible (driver records rows-only checks)
         "media_features": P.media_features_pipeline,
         "video_csv_parse": P.video_csv_parse,
         "reference_queries": P.reference_query_results,
@@ -280,23 +341,111 @@ SELECT i.a, i.b,
 FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
 WHERE i.c::DOUBLE / (sa.n + sb.n - i.c) >= 0.2
 """,
-        "ann_cosine_topk": """
-WITH q AS (
-  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        "ann_cosine_topk": _ANN_TOPK_SQL,
+        "ivf_ann_topk": _ANN_TOPK_SQL,
+        "embedding_near_dup": _NEAR_DUP_SQL,
+        "lsh_near_dup": _NEAR_DUP_SQL,
+        # 64-bit SimHash over the token multiset; token hash =
+        # md5_number_upper(term) >> 3 — DuckDB's md5_number_upper equals
+        # python int.from_bytes(md5(t)[:8], 'little') (extras/dedup.py)
+        "simhash": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents
+),
+tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+th AS (SELECT doc_id, (md5_number_upper(term) >> 3)::BIGINT AS h FROM tokf),
+bits AS (SELECT b FROM range(61) t(b)),
+v AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN bits GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+  FROM v GROUP BY doc_id
 )
-SELECT vec_id,
-       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 4) AS cosine
-FROM embeddings
-ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 4) DESC,
-         vec_id
-LIMIT 10
+SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN sig s USING (doc_id)
 """,
-        "embedding_near_dup": """
-WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-SELECT a.vec_id AS a, b.vec_id AS b,
-       round(list_cosine_similarity(a.e, b.e), 4) AS cosine
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+        # min over per-position rolling window hashes, mirrored
+        # arithmetic (textstats.rolling_fingerprints): Mersenne31
+        # modulus so products stay HUGEINT/int64-safe on both sides
+        "doc_fingerprint": f"""
+WITH {_TOKP},
+tt AS (
+  SELECT t.doc_id, t.rn, n.n,
+         (md5_number_upper(t.term) % {_FP_P})::BIGINT AS th
+  FROM tokp t JOIN nt n USING (doc_id)
+),
+win AS (
+  SELECT doc_id,
+    ((th::HUGEINT * {_FP_COEFF[0]})
+     + (coalesce(lead(th, 1) OVER w, 0)::HUGEINT * {_FP_COEFF[1]})
+     + (coalesce(lead(th, 2) OVER w, 0)::HUGEINT * {_FP_COEFF[2]})
+     + (coalesce(lead(th, 3) OVER w, 0)::HUGEINT * {_FP_COEFF[3]})
+     + (coalesce(lead(th, 4) OVER w, 0)::HUGEINT * {_FP_COEFF[4]})
+     + (coalesce(lead(th, 5) OVER w, 0)::HUGEINT * {_FP_COEFF[5]})
+     + (coalesce(lead(th, 6) OVER w, 0)::HUGEINT * {_FP_COEFF[6]})
+     + (coalesce(lead(th, 7) OVER w, 0)::HUGEINT * {_FP_COEFF[7]})) % {_FP_P} AS wh
+  FROM tt
+  WINDOW w AS (PARTITION BY doc_id ORDER BY rn)
+  QUALIFY rn <= CASE WHEN n >= 8 THEN n - 7 ELSE 1 END
+),
+fp AS (SELECT doc_id, min(wh)::BIGINT AS fingerprint FROM win GROUP BY doc_id)
+SELECT d.doc_id, coalesce(f.fingerprint, 0)::BIGINT AS fingerprint
+FROM documents d LEFT JOIN fp f USING (doc_id)
+""",
+        # argmax distinct-token overlap with each profile; ties ->
+        # alphabetically first language, no overlap -> 'und'
+        "langid": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents
+),
+tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dt AS (SELECT DISTINCT doc_id, term FROM tokf),
+prof AS (SELECT * FROM (VALUES {_LANG_PROFILE_VALUES}) AS t(lang, term)),
+ov AS (
+  SELECT dt.doc_id, p.lang, count(*)::BIGINT AS n
+  FROM dt JOIN prof p USING (term) GROUP BY dt.doc_id, p.lang
+),
+best AS (
+  SELECT doc_id, lang FROM ov
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) = 1
+)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+FROM documents d LEFT JOIN best b USING (doc_id)
+""",
+        # exact 3-token-shingle Jaccard pairs >= 0.5 — what the
+        # high-recall MinHash-LSH configuration (bands = num_perm)
+        # provably computes; shingle identity = chr(1)-joined tokens,
+        # docs shorter than the shingle get one whole-doc shingle
+        "minhash_near_dup": f"""
+WITH {_TOKP},
+sh3 AS (
+  SELECT t.doc_id,
+         t.term || chr(1) || lead(t.term, 1) OVER w || chr(1) || lead(t.term, 2) OVER w AS sh
+  FROM tokp t JOIN nt n USING (doc_id)
+  WHERE n.n >= 3
+  WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.rn)
+  QUALIFY t.rn <= n.n - 2
+),
+shs AS (
+  SELECT t.doc_id, string_agg(t.term, chr(1) ORDER BY t.rn) AS sh
+  FROM tokp t JOIN nt n USING (doc_id) WHERE n.n < 3 GROUP BY t.doc_id
+),
+s AS (SELECT DISTINCT doc_id, sh FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM shs)),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS c
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, round(i.c::DOUBLE / (sa.n + sb.n - i.c), 4) AS jaccard
+FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+WHERE i.c::DOUBLE / (sa.n + sb.n - i.c) >= 0.5
 """,
         "top_users": """
 SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 4) AS vsum

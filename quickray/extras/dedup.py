@@ -5,9 +5,15 @@
   dedup is its corpus-scale analog).
 - MinHash + LSH: shingle -> minhash signature -> banded bucket groupby
   -> candidate pairs -> exact-Jaccard verify. The groupby on
-  (band, band_hash) is the scale path: only colliding docs ever meet.
-- SimHash: 64-bit signed projection of token counts.
+  (band, band_key) is the scale path: only colliding docs ever meet,
+  and verification is a distributed hash join of the candidate pairs
+  back to per-doc shingle sets — nothing corpus-sized ever lands on
+  the driver.
+- SimHash: 64-bit signed projection of token counts (vectorized).
 - n-gram Jaccard: exact all-pairs on a bounded subset (oracle-checkable).
+
+All per-batch kernels are vectorized: md5 runs once per UNIQUE token
+(dictionary encode), shingles/signatures/band keys are numpy array ops.
 """
 
 from __future__ import annotations
@@ -19,25 +25,82 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from quickray.tokenize import tokenize_py
+from quickray.tokenize import flatten_tokens
 
 _MERSENNE = (1 << 61) - 1
+# polynomial-combine multipliers (odd => bijective mod 2^64)
+_SH_MULT = np.uint64(0x100000001B3)  # FNV-1a prime
+_BAND_MULT = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _hash64(tokens: list[str]) -> np.ndarray:
-    return np.array(
-        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") >> 3
-         for t in tokens],
-        dtype=np.int64,
+def _token_hash_u64(flat: pa.Array) -> np.ndarray:
+    """64-bit md5 hash per token occurrence: md5 computed once per
+    UNIQUE token in the batch (dictionary encode — source text repeats
+    tokens heavily), then gathered by code. Matches DuckDB's
+    md5_number_upper(): little-endian int of md5 bytes [0:8]."""
+    if len(flat) == 0:
+        return np.empty(0, np.uint64)
+    dic = flat.dictionary_encode()
+    vocab = dic.dictionary.to_pylist()
+    th = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            for t in vocab
+        ),
+        dtype=np.uint64,
+        count=len(vocab),
     )
+    return th[np.asarray(dic.indices, dtype=np.int64)]
 
 
-def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
-    if len(tokens) < k:
-        joined = ["\x01".join(tokens)] if tokens else []
-    else:
-        joined = ["\x01".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
-    return np.unique(_hash64(joined))
+def _batch_shingles(
+    batch: pa.Table, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized k-token shingle hashes for every doc in a batch.
+
+    Shingle identity is the k-token tuple (equivalently the
+    '\\x01'-joined string — tokens are [a-z0-9_]+ so the join is
+    injective); its 64-bit id is a polynomial combine of per-token md5
+    hashes (wrap-around mod 2^64, then >>3 into 61 bits). A doc with
+    0 < n < k tokens contributes ONE shingle over all its tokens
+    (matching the joined-string semantics); an empty doc none.
+
+    Returns (doc_row_per_shingle, shingle_hash int64, n_tokens per doc)
+    with shingles grouped by doc in batch row order.
+    """
+    flat, parents = flatten_tokens(batch["text"])
+    par = np.asarray(parents, dtype=np.int64)
+    th = _token_hash_u64(flat)
+    n = batch.num_rows
+    ntok = np.bincount(par, minlength=n) if len(par) else np.zeros(n, np.int64)
+    m = len(th)
+    doc_parts: list[np.ndarray] = []
+    sh_parts: list[np.ndarray] = []
+    if m >= k:
+        acc = th[: m - k + 1].copy()
+        for j in range(1, k):
+            acc = acc * _SH_MULT + th[j : m - k + 1 + j]
+        valid = par[: m - k + 1] == par[k - 1 :]
+        doc_parts.append(par[: m - k + 1][valid])
+        sh_parts.append(acc[valid])
+    # short docs (0 < ntok < k): one whole-doc shingle each. Rare by
+    # construction (k is small); the loop is bounded by their count.
+    short = np.flatnonzero((ntok > 0) & (ntok < k))
+    if len(short):
+        starts = np.concatenate(([0], np.cumsum(ntok)))[:-1]
+        for d in short:
+            h = th[starts[d] : starts[d] + ntok[d]]
+            acc1 = h[0]
+            for v in h[1:]:
+                acc1 = acc1 * _SH_MULT + v
+            doc_parts.append(np.array([d], np.int64))
+            sh_parts.append(np.array([acc1], np.uint64))
+    if not doc_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64), ntok
+    doc = np.concatenate(doc_parts)
+    sh = np.concatenate(sh_parts)
+    order = np.argsort(doc, kind="stable")  # regroup short docs in place
+    return doc[order], (sh[order] >> np.uint64(3)).astype(np.int64), ntok
 
 
 def exact_duplicates(ds: "rd.Dataset") -> "rd.Dataset":
@@ -65,9 +128,18 @@ def exact_duplicates(ds: "rd.Dataset") -> "rd.Dataset":
 
 
 class MinHasher:
-    """Actor-pool stage: doc -> (band, band_hash, doc_id) rows.
-    Permutation coefficients are generated once per actor from a fixed
-    seed (identical across actors — required for bucketing to work)."""
+    """map_batches stage: doc batch -> (doc_id, band, band_key) rows.
+
+    Permutation coefficients are generated once per worker from a fixed
+    seed (identical across workers — required for bucketing to work).
+    The whole batch is signed in one shot: shingle hashes for every doc
+    (one polynomial pass), then per-permutation minima via ONE
+    minimum.reduceat over the doc-grouped shingle array per permutation
+    chunk — no per-doc or per-band Python loop."""
+
+    # permutations processed in chunks of this many rows to bound the
+    # (chunk x n_shingles) intermediate at ~8 MB per 64k shingles
+    _PERM_CHUNK = 16
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 13):
         assert num_perm % bands == 0
@@ -79,162 +151,243 @@ class MinHasher:
         self.rows_per_band = num_perm // bands
         self.k = shingle_k
 
-    def signature(self, tokens: list[str]) -> np.ndarray | None:
-        sh = _shingle_hashes(tokens, self.k)
-        if len(sh) == 0:
-            return None
-        # (num_perm, n_shingles) universal hashing over a Mersenne prime
-        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
-        return v.min(axis=1)
+    def _signatures(
+        self, doc: np.ndarray, sh: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(docs_with_shingles, signature matrix (n_present, num_perm))."""
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(doc)) + 1))
+        present = doc[starts]
+        sig = np.empty((len(present), self.num_perm), dtype=np.int64)
+        for lo in range(0, self.num_perm, self._PERM_CHUNK):
+            hi = min(lo + self._PERM_CHUNK, self.num_perm)
+            # same arithmetic per permutation as the scalar form:
+            # (a*h + b) mod Mersenne61 with int64 wrap-around multiply
+            vals = (self.a[lo:hi, None] * sh[None, :] + self.b[lo:hi, None]) % _MERSENNE
+            sig[:, lo:hi] = np.minimum.reduceat(vals, starts, axis=1).T
+        return present, sig
+
+    def _band_keys(self, sig: np.ndarray) -> np.ndarray:
+        """(n_present, bands) int64 bucket keys: polynomial combine of
+        each band's signature rows (vectorized; replaces per-band md5)."""
+        u = sig.view(np.uint64).reshape(len(sig), self.bands, self.rows_per_band)
+        acc = u[:, :, 0].copy()
+        for j in range(1, self.rows_per_band):
+            acc = acc * _BAND_MULT + u[:, :, j]
+        return (acc >> np.uint64(1)).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        docs, bands, bhashes = [], [], []
-        texts = batch["text"].to_pylist()
-        ids = batch["doc_id"].to_pylist()
-        for i, text in zip(ids, texts):
-            sig = self.signature(tokenize_py(text))
-            if sig is None:
-                continue
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-                docs.append(i)
-                bands.append(b)
-                bhashes.append(h)
+        doc, sh, _ = _batch_shingles(batch, self.k)
+        if len(doc) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int64()),
+                    "band_key": pa.array([], pa.int64()),
+                }
+            )
+        present, sig = self._signatures(doc, sh)
+        keys = self._band_keys(sig)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)[present]
+        bands = np.tile(np.arange(self.bands, dtype=np.int64), len(present))
         return pa.table(
             {
-                "doc_id": pa.array(docs, pa.int64()),
-                "band": pa.array(bands, pa.int64()),
-                "band_hash": pa.array(bhashes, pa.string()),
+                "doc_id": pa.array(np.repeat(ids, self.bands)),
+                "band": pa.array(bands),
+                "band_key": pa.array(keys.reshape(-1)),
             }
         )
+
+
+def _pairs_from_ids(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.unique(ids)
+    if len(ids) < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ai, bi = np.triu_indices(len(ids), k=1)
+    return ids[ai], ids[bi]
+
+
+# task-mode per-worker MinHasher cache (same pattern as
+# tokenize.make_run_tokenizer): tasks schedule on the warm worker pool
+# and never reserve CPUs while idle; state is rebuilt at most once per
+# (params) per worker process
+_WORKER_MINHASHERS: dict[tuple, MinHasher] = {}
+
+
+def _make_sig_fn(num_perm: int, bands: int, shingle_k: int):
+    key = (num_perm, bands, shingle_k)
+
+    def sig_fn(batch: pa.Table) -> pa.Table:
+        mh = _WORKER_MINHASHERS.get(key)
+        if mh is None:
+            if len(_WORKER_MINHASHERS) > 4:
+                _WORKER_MINHASHERS.clear()
+            mh = MinHasher(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
+            _WORKER_MINHASHERS[key] = mh
+        return mh(batch)
+
+    return sig_fn
 
 
 def minhash_candidate_pairs(
     ds: "rd.Dataset", num_perm: int = 64, bands: int = 16, shingle_k: int = 3
 ) -> "rd.Dataset":
-    """LSH bucket groupby -> unordered candidate pairs (a < b)."""
+    """LSH bucket groupby -> distinct unordered candidate pairs (a < b).
+    Pair enumeration inside a bucket is vectorized (triu_indices); the
+    same pair colliding in several bands is deduped by a (a, b) groupby
+    — all distributed, nothing driver-side."""
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(np.asarray(group["doc_id"], dtype=np.int64).tolist()))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+        a, b = _pairs_from_ids(np.asarray(group["doc_id"], dtype=np.int64))
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
-        batch_format="pyarrow",
-        concurrency=2,
+        _make_sig_fn(num_perm, bands, shingle_k), batch_format="pyarrow"
     )
-    cand = sigs.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pyarrow")
-    # same pair can collide in several bands -> distinct
+    cand = sigs.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pyarrow")
     return cand.groupby(["a", "b"]).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
 
 
-def verify_jaccard_pairs(
-    pairs: list[tuple[int, int]],
+def shingle_set_rows(ds: "rd.Dataset", shingle_k: int) -> "rd.Dataset":
+    """(doc_id, sh) rows: each doc's DISTINCT sorted shingle hashes,
+    encoded as a little-endian int64 binary blob (Arrow hash joins do
+    not take list payloads; binary round-trips losslessly). Docs with
+    no shingles emit no row (they can never be LSH candidates)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        doc, sh, _ = _batch_shingles(batch, shingle_k)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        if len(doc) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.binary())}
+            )
+        order = np.lexsort((sh, doc))
+        doc_s, sh_s = doc[order], sh[order]
+        keep = np.concatenate(
+            ([True], (np.diff(doc_s) != 0) | (np.diff(sh_s) != 0))
+        )
+        doc_u, sh_u = doc_s[keep], sh_s[keep]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(doc_u)) + 1, [len(doc_u)]))
+        blobs = [sh_u[lo:hi].tobytes() for lo, hi in zip(starts[:-1], starts[1:])]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_u[starts[:-1]]]),
+                "sh": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def verify_pairs(
+    cand: "rd.Dataset",
     docs_ds: "rd.Dataset",
     shingle_k: int = 3,
     threshold: float = 0.5,
-) -> pa.Table:
-    """Exact-Jaccard verification of candidate pairs.
+    num_partitions: int = 4,
+) -> "rd.Dataset":
+    """Distributed exact-Jaccard verification of candidate pairs:
+    two hash joins of (a, b) against per-doc shingle-set rows (the
+    shingle sides shuffle only the CANDIDATE docs' sets after the first
+    join), then a per-pair sorted-array intersection. No driver-side
+    shingle dict — this is the 100-TB shape of LSH verification."""
+    sh_ds = shingle_set_rows(docs_ds, shingle_k)
+    j1 = cand.join(
+        sh_ds, join_type="inner", num_partitions=num_partitions,
+        on=("a",), right_on=("doc_id",),
+    ).rename_columns({"sh": "sh_a"})
+    j2 = j1.join(
+        sh_ds, join_type="inner", num_partitions=num_partitions,
+        on=("b",), right_on=("doc_id",),
+    ).rename_columns({"sh": "sh_b"})
 
-    The candidate doc set is tiny relative to the corpus (that is LSH's
-    whole point), so shingle sets for *candidate docs only* are computed
-    distributed and the pairwise check happens on the driver. At 10^12
-    scale this step becomes a bucketed self-join on pair ids."""
-    need = sorted({d for p in pairs for d in p})
-    need_set = set(need)
+    def jaccard(batch: pa.Table) -> pa.Table:
+        from quickray.util import round_sql
 
-    def shingles(batch: pa.Table) -> pa.Table:
-        out_id, out_sh = [], []
-        for i, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if i in need_set:
-                out_id.append(i)
-                out_sh.append(_shingle_hashes(tokenize_py(text), shingle_k).tolist())
+        a = np.asarray(batch["a"], dtype=np.int64)
+        b = np.asarray(batch["b"], dtype=np.int64)
+        js = np.empty(len(a), np.float64)
+        # loop over candidate PAIRS only (post-LSH, a tiny fraction of
+        # the corpus); each step is a C-speed sorted intersection
+        for i, (ba, bb) in enumerate(
+            zip(batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist())
+        ):
+            sa = np.frombuffer(ba, dtype=np.int64)
+            sb = np.frombuffer(bb, dtype=np.int64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            js[i] = inter / (len(sa) + len(sb) - inter)
+        keep = js >= threshold
+        order = np.lexsort((b[keep], a[keep]))
         return pa.table(
-            {"doc_id": pa.array(out_id, pa.int64()),
-             "sh": pa.array(out_sh, pa.list_(pa.int64()))}
+            {
+                "a": pa.array(a[keep][order]),
+                "b": pa.array(b[keep][order]),
+                "jaccard": pa.array(round_sql(js[keep][order], 4)),
+            }
         )
 
-    got = {}
-    for b in docs_ds.map_batches(shingles, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for i, sh in zip(b["doc_id"].to_pylist(), b["sh"].to_pylist()):
-            got[i] = set(sh)
-    a_out, b_out, j_out = [], [], []
-    for a, b2 in sorted(pairs):
-        sa, sb = got.get(a, set()), got.get(b2, set())
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            from quickray.util import round_sql
-
-            a_out.append(a)
-            b_out.append(b2)
-            j_out.append(float(round_sql(j, 4)))
-    return pa.table(
-        {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64()),
-         "jaccard": pa.array(j_out, pa.float64())}
-    )
+    return j2.map_batches(jaccard, batch_format="pyarrow")
 
 
 def minhash_near_duplicates(
     ds: "rd.Dataset", threshold: float = 0.5, num_perm: int = 64,
     bands: int = 16, shingle_k: int = 3,
-) -> pa.Table:
-    """Full MinHash-LSH near-dup pipeline: bucket -> candidates -> verify."""
-    cand = [
-        (r["a"], r["b"])
-        for r in minhash_candidate_pairs(ds, num_perm, bands, shingle_k).take_all()
-    ]
-    return verify_jaccard_pairs(cand, ds, shingle_k, threshold)
+) -> "rd.Dataset":
+    """Full MinHash-LSH near-dup pipeline: bucket -> candidates ->
+    distributed verify. Returns (a, b, jaccard) with exact Jaccard >=
+    threshold; recall < 1 by construction at the default banding
+    (P[candidate] = 1-(1-j^rows_per_band)^bands). For an exact result
+    on bounded inputs use bands=num_perm (rows_per_band=1: any shared
+    minhash collides — recall ~1 at j >= 0.5, miss prob <= (1-j)^perm)."""
+    cand = minhash_candidate_pairs(ds, num_perm, bands, shingle_k)
+    return verify_pairs(cand, ds, shingle_k, threshold)
 
 
 def simhash_signatures(ds: "rd.Dataset") -> "rd.Dataset":
-    """64-bit SimHash over token multisets (vectorized bit-count)."""
+    """64-bit SimHash over token multisets, vectorized: per-unique-token
+    md5 (dictionary encode) -> (tokens x 64) bit matrix -> per-doc
+    +/-1 sums via ONE add.reduceat -> sign-bit pack. Empty docs -> 0.
+    Matches SQL: sum over tokens of +/-1 per bit of
+    (md5_number_upper(term) >> 3)."""
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        out = []
-        for text in batch["text"].to_pylist():
-            toks = tokenize_py(text)
-            if not toks:
-                out.append(0)
-                continue
-            h = _hash64(toks).astype(np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for k in np.flatnonzero(v > 0):
-                sig |= np.uint64(1) << np.uint64(k)
-            out.append(int(sig.astype(np.int64)))
-        return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())})
+        flat, parents = flatten_tokens(batch["text"])
+        n = batch.num_rows
+        out = np.zeros(n, np.int64)
+        if len(flat):
+            par = np.asarray(parents, dtype=np.int64)
+            h = _token_hash_u64(flat) >> np.uint64(3)
+            bits = (
+                (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+            ).astype(np.int8)
+            contrib = (2 * bits - 1).astype(np.int32)
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(par)) + 1))
+            v = np.add.reduceat(contrib, starts, axis=0)  # (docs_present, 64)
+            weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            sig = ((v > 0).astype(np.uint64) * weights[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[par[starts]] = sig.astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out)})
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(
     ds: "rd.Dataset", max_doc_id: int, shingle_k: int = 3, threshold: float = 0.2
-) -> pa.Table:
-    """Exact all-pairs token-set Jaccard on docs with doc_id < max_doc_id
-    (bounded, so it stays oracle-checkable in SQL)."""
+) -> "rd.Dataset":
+    """Exact all-pairs token-shingle Jaccard on docs with doc_id <
+    max_doc_id (bounded, so it stays oracle-checkable in SQL). The
+    bounded pair list feeds the same distributed verify as MinHash."""
     import pyarrow.compute as pc
 
     sub = ds.map_batches(
         lambda t: t.filter(pc.less(t["doc_id"], max_doc_id)),
         batch_format="pyarrow",
     )
-    pairs = [
-        (a, b)
-        for a in range(max_doc_id)
-        for b in range(a + 1, max_doc_id)
-    ]
-    return verify_jaccard_pairs(pairs, sub, shingle_k=shingle_k, threshold=threshold)
+    a, b = np.triu_indices(max_doc_id, k=1)
+    cand = rd.from_arrow(
+        pa.table({"a": pa.array(a.astype(np.int64)), "b": pa.array(b.astype(np.int64))})
+    )
+    return verify_pairs(cand, sub, shingle_k=shingle_k, threshold=threshold)

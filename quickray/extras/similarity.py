@@ -2,10 +2,20 @@
 
 - brute_force_topk: exact cosine top-k; the query matrix is broadcast
   once (ray.put), each batch does one numpy matmul, per-batch partial
-  top-k shrinks the reduce (never ships full similarity columns).
-- ivf_topk: IVF-style scale path — deterministic k-means-lite centroids
-  from a driver-side sample, batches score only the nprobe closest
-  cells' rows. Approximate by construction (recall < 1 possible).
+  top-k (keeping k-th-value ties) shrinks the reduce.
+- embedding_near_dup_pairs: exact all-pairs similarity join, blocked —
+  dataset blocks live in the OBJECT STORE (to_arrow_refs) and one Ray
+  task scores each block pair. Quadratic in blocks by nature; the
+  approximate scale path is lsh_near_dup_pairs.
+- lsh_near_dup_pairs: random-hyperplane LSH — each bucket group
+  carries ITS OWN vectors through the groupby, so in-bucket exact
+  verification reads no global side table. Fully streaming.
+- ivf_topk: IVF scale path — centroids trained on a deterministic
+  corpus-wide strided sample, batches score only the nprobe closest
+  cells' rows.
+
+Nothing here materializes the full dataset on the driver; every
+`take*` is bounded (top-k partials, samples, or the final pair set).
 """
 
 from __future__ import annotations
@@ -32,7 +42,10 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 class _BruteScorer:
     """Actor-pool stage: the normalized query vector is fetched from the
-    object store once per actor, each batch emits its local top-k."""
+    object store once per actor, each batch emits its local top-k.
+    The partial keeps ALL rows tied with the k-th (rounded) value so a
+    rounded tie straddling a batch boundary can never drop the smaller
+    vec_id the (-score, vec_id) total order would keep."""
 
     def __init__(self, query_ref, k: int, ndigits: int | None):
         q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
@@ -49,8 +62,9 @@ class _BruteScorer:
             sims = round_sql(sims, self.ndigits)
         ids = np.asarray(batch["vec_id"], dtype=np.int64)
         if len(ids) > self.k:
-            part = np.argpartition(-sims, self.k - 1)[: self.k]
-            ids, sims = ids[part], sims[part]
+            kth = np.partition(sims, len(sims) - self.k)[len(sims) - self.k]
+            keep = sims >= kth  # k-th value + all ties
+            ids, sims = ids[keep], sims[keep]
         return pa.table(
             {"vec_id": pa.array(ids), "cosine": pa.array(sims, pa.float64())}
         )
@@ -66,7 +80,7 @@ def brute_force_topk(
         fn_constructor_kwargs={"query_ref": ref, "k": k, "ndigits": ndigits},
         batch_format="pyarrow",
         concurrency=2,
-    ).take_all()
+    ).take_all()  # bounded: <= k + ties per input block
     ids = np.array([r["vec_id"] for r in partials], dtype=np.int64)
     sims = np.array([r["cosine"] for r in partials], dtype=np.float64)
     order = np.lexsort((ids, -sims))[:k]
@@ -75,47 +89,70 @@ def brute_force_topk(
     )
 
 
+@ray.remote
+def _block_pair_sims(
+    t1: pa.Table, t2: pa.Table, threshold: float, ndigits: int
+) -> pa.Table:
+    """Score one block pair; emits (a < b, cosine >= threshold). Blocks
+    arrive as object-store refs (zero-copy deref inside the task)."""
+    from quickray.util import round_sql
+
+    m1, ids1 = _normalize(_batch_mat(t1)), np.asarray(t1["vec_id"], np.int64)
+    m2, ids2 = _normalize(_batch_mat(t2)), np.asarray(t2["vec_id"], np.int64)
+    sims = m1 @ m2.T
+    # a < b keeps each unordered pair exactly once: within one block the
+    # upper triangle, across blocks every hit (disjoint id sets)
+    ai, bi = np.nonzero((sims >= threshold) & (ids1[:, None] < ids2[None, :]))
+    return pa.table(
+        {
+            "a": pa.array(ids1[ai]),
+            "b": pa.array(ids2[bi]),
+            "cosine": pa.array(round_sql(sims[ai, bi], ndigits)),
+        }
+    )
+
+
 def embedding_near_dup_pairs(
-    ds: "rd.Dataset", threshold: float = 0.4, ndigits: int = 4
+    ds: "rd.Dataset", threshold: float = 0.4, ndigits: int = 4,
+    target_blocks: int = 16,
 ) -> pa.Table:
     """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
-    cosine >= threshold. The full normalized matrix is broadcast once
-    (ray.put); each batch computes a block x N matmul against it — the
-    blocked form of the N^2 similarity join. Scale path: route batches
-    through IVF/LSH cells first (ivf_topk's assignment) so only
-    same-cell pairs are scored; the blocked matmul here is the exact
-    small/medium-N baseline."""
-    tbl = pa.Table.from_pylist(ds.take_all())
-    all_ids = np.asarray(tbl["vec_id"], dtype=np.int64)
-    mat_ref = ray.put((_normalize(_batch_mat(tbl)), all_ids))
-
-    def block_pairs(batch: pa.Table) -> pa.Table:
-        from quickray.util import round_sql
-
-        mat, ids_all = ray.get(mat_ref)
-        m = _normalize(_batch_mat(batch))
-        ids = np.asarray(batch["vec_id"], dtype=np.int64)
-        sims = m @ mat.T
-        ai, bi = np.nonzero(
-            (sims >= threshold) & (ids[:, None] < ids_all[None, :])
-        )
+    cosine >= threshold — the EXACT all-pairs join. Blocked execution:
+    the dataset is materialized to the object store as ~target_blocks
+    Arrow blocks and each of the B(B+1)/2 block pairs is scored by one
+    Ray task holding only its two blocks. The driver touches block REFS
+    and the (bounded) near-dup pair output, never the embedding matrix.
+    O(N^2) work is inherent to the exact join; lsh_near_dup_pairs is
+    the sub-quadratic scale path."""
+    refs = [
+        r
+        for r in ds.repartition(target_blocks).to_arrow_refs()
+    ]
+    futures = [
+        _block_pair_sims.remote(refs[i], refs[j], threshold, ndigits)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    parts = [t for t in ray.get(futures) if t.num_rows]
+    if not parts:
         return pa.table(
-            {
-                "a": pa.array(ids[ai]),
-                "b": pa.array(ids_all[bi]),
-                "cosine": pa.array(round_sql(sims[ai, bi], ndigits)),
-            }
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
         )
-
-    parts = ds.map_batches(block_pairs, batch_format="pyarrow").take_all()
-    a = np.array([r["a"] for r in parts], dtype=np.int64)
-    b = np.array([r["b"] for r in parts], dtype=np.int64)
-    c = np.array([r["cosine"] for r in parts], dtype=np.float64)
+    out = pa.concat_tables(parts)
+    a = np.asarray(out["a"], np.int64)
+    b = np.asarray(out["b"], np.int64)
+    c = np.asarray(out["cosine"], np.float64)
     order = np.lexsort((b, a))
     return pa.table(
         {"a": pa.array(a[order]), "b": pa.array(b[order]),
          "cosine": pa.array(c[order])}
     )
+
+
+def _embedding_dim(ds: "rd.Dataset") -> int:
+    row = ds.take(1)[0]  # bounded
+    return len(row["embedding"])
 
 
 def lsh_near_dup_pairs(
@@ -125,21 +162,17 @@ def lsh_near_dup_pairs(
     bands: int = 4,
     seed: int = 11,
     ndigits: int = 4,
-) -> pa.Table:
+) -> "rd.Dataset":
     """Random-hyperplane LSH near-dup: sign-bit signatures -> banded
-    bucket groupby -> exact cosine verify inside buckets only. The
-    scale path for the N^2 similarity join: vectors meet exact scoring
-    only when a band of their sign signature collides (collision
-    probability (1 - theta/pi)^rows_per_band per band). Recall < 1 by
-    construction; every emitted pair is exact-verified >= threshold."""
+    bucket groupby -> exact cosine verify INSIDE each bucket. Each
+    bucket row carries its vector through the groupby (bands x data
+    shuffle volume), so in-bucket verification needs no global side
+    table — the property that lets this run at 100 TB. Recall < 1 by
+    construction (collision prob (1 - theta/pi)^rows_per_band per
+    band); every emitted pair is exact-verified >= threshold. Raise
+    `bands` toward n_planes for recall ~1 on bounded inputs."""
     rows_per_band = n_planes // bands
-    tbl = pa.Table.from_pylist(ds.take_all())
-    all_ids = np.asarray(tbl["vec_id"], dtype=np.int64)
-    mat = _normalize(_batch_mat(tbl))
-    o = np.argsort(all_ids)  # searchsorted side must be sorted
-    all_ids, mat = all_ids[o], mat[o]
-    side_ref = ray.put((mat, all_ids))
-    dim = mat.shape[1]
+    dim = _embedding_dim(ds)
     planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
     planes_ref = ray.put(planes)
 
@@ -147,41 +180,51 @@ def lsh_near_dup_pairs(
         pl = ray.get(planes_ref)
         m = _normalize(_batch_mat(batch))
         bits = (m @ pl) > 0  # (n, n_planes)
-        ids = np.asarray(batch["vec_id"], dtype=np.int64)
-        out_id, out_band, out_key = [], [], []
+        vec_id = batch["vec_id"]
+        if isinstance(vec_id, pa.ChunkedArray):
+            vec_id = vec_id.combine_chunks()
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        tabs = []
         for b in range(bands):
             chunk = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
             keys = chunk @ (1 << np.arange(rows_per_band))
-            out_id.extend(ids.tolist())
-            out_band.extend([b] * len(ids))
-            out_key.extend(keys.tolist())
-        return pa.table(
-            {
-                "vec_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int64()),
-                "key": pa.array(out_key, pa.int64()),
-            }
-        )
+            tabs.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(len(keys), b, np.int64)),
+                        "key": pa.array(keys.astype(np.int64)),
+                        "vec_id": vec_id,
+                        "embedding": emb,
+                    }
+                )
+            )
+        return pa.concat_tables(tabs)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         from quickray.util import round_sql
 
-        ids = np.unique(np.asarray(group["vec_id"], dtype=np.int64))
-        if len(ids) < 2:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "cosine": pa.array([], pa.float64())}
-            )
-        mat_all, ids_all = ray.get(side_ref)
-        pos = np.searchsorted(ids_all, ids)
-        sub = mat_all[pos]
-        sims = sub @ sub.T
-        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+        if group.num_rows < 2:
+            return empty
+        ids = np.asarray(group["vec_id"], dtype=np.int64)
+        m = _normalize(_batch_mat(group))  # the group's OWN vectors
+        sims = m @ m.T
+        xi, yi = np.nonzero(np.triu(sims >= threshold, k=1))
+        if not len(xi):
+            return empty
+        a, b = ids[xi], ids[yi]
+        swap = a > b
+        a[swap], b[swap] = b[swap], a[swap].copy()
         return pa.table(
             {
-                "a": pa.array(ids[ai]),
-                "b": pa.array(ids[bi]),
-                "cosine": pa.array(round_sql(sims[ai, bi], ndigits)),
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "cosine": pa.array(round_sql(sims[xi, yi], ndigits)),
             }
         )
 
@@ -190,34 +233,47 @@ def lsh_near_dup_pairs(
         .groupby(["band", "key"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    parts = cand.take_all()
-    if not parts:
-        return pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-             "cosine": pa.array([], pa.float64())}
-        )
-    a = np.array([r["a"] for r in parts], dtype=np.int64)
-    b = np.array([r["b"] for r in parts], dtype=np.int64)
-    c = np.array([r["cosine"] for r in parts], dtype=np.float64)
-    uniq, idx = np.unique(a * (1 << 32) + b, return_index=True)  # band dedup
-    order = idx[np.lexsort((b[idx], a[idx]))]
-    return pa.table(
-        {"a": pa.array(a[order]), "b": pa.array(b[order]),
-         "cosine": pa.array(c[order])}
+    # same pair found in several bands -> keep one (distributed dedup)
+    return cand.groupby(["a", "b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
 
 
-def _kmeans_lite(sample: np.ndarray, nlist: int, iters: int = 5) -> np.ndarray:
-    """Deterministic k-means on a sample: first-nlist init, Lloyd iters."""
-    centroids = sample[:nlist].copy()
+def _kmeans_lite(sample: np.ndarray, nlist: int, iters: int = 12) -> np.ndarray:
+    """Deterministic spherical k-means on a sample: farthest-point
+    (k-means++-style, deterministic) init + Lloyd iterations."""
+    sn = _normalize(sample)
+    picks = [0]
+    d_min = 1.0 - sn @ sn[0]  # cosine distance to nearest chosen centroid
+    for _ in range(1, min(nlist, len(sn))):
+        nxt = int(np.argmax(d_min))
+        picks.append(nxt)
+        d_min = np.minimum(d_min, 1.0 - sn @ sn[nxt])
+    centroids = sample[picks].copy()
     for _ in range(iters):
-        d = _normalize(sample) @ _normalize(centroids).T
+        d = sn @ _normalize(centroids).T
         assign = np.argmax(d, axis=1)
-        for c in range(nlist):
+        for c in range(len(centroids)):
             members = sample[assign == c]
             if len(members):
                 centroids[c] = members.mean(axis=0)
     return centroids
+
+
+def strided_sample(ds: "rd.Dataset", sample_rows: int) -> np.ndarray:
+    """Deterministic corpus-wide sample: every block contributes a
+    per-batch stride slice (NOT the first blocks only), collected
+    bounded by ~sample_rows total."""
+    total = ds.count()  # parquet metadata — no data read
+    mod = max(1, total // max(1, sample_rows))
+
+    def stride(t: pa.Table) -> pa.Table:
+        return t.take(np.arange(0, t.num_rows, mod))
+
+    rows = ds.map_batches(stride, batch_format="pyarrow").take_all()  # bounded
+    tbl = pa.Table.from_pylist(rows)
+    order = np.argsort(np.asarray(tbl["vec_id"], np.int64))
+    return _batch_mat(tbl)[order]
 
 
 def ivf_topk(
@@ -229,10 +285,10 @@ def ivf_topk(
     sample_rows: int = 512,
 ) -> pa.Table:
     """IVF-bucketed approximate top-k: rows whose nearest centroid is not
-    among the query's nprobe cells are never scored."""
-    sample = _batch_mat(
-        pa.Table.from_pylist(ds.limit(sample_rows).take_all())
-    )
+    among the query's nprobe cells are never scored. Centroids come from
+    a deterministic corpus-wide strided sample (strided_sample); recall
+    vs brute_force_topk is measured in bench.py (ivf_recall_at_k)."""
+    sample = strided_sample(ds, sample_rows)
     centroids = _kmeans_lite(sample, nlist)
     cn = _normalize(centroids)
     q = _normalize(np.asarray(query_vec, dtype=np.float64))
@@ -250,9 +306,13 @@ def ivf_topk(
 
             keep = np.isin(assign, list(probe))
             ids = np.asarray(batch["vec_id"], dtype=np.int64)[keep]
-            sims = m[keep] @ q
+            sims = round_sql(m[keep] @ q, 4)
+            if len(ids) > k:  # per-batch partial top-k, ties kept
+                kth = np.partition(sims, len(sims) - k)[len(sims) - k]
+                sel = sims >= kth
+                ids, sims = ids[sel], sims[sel]
             return pa.table(
-                {"vec_id": pa.array(ids), "cosine": pa.array(round_sql(sims, 4))}
+                {"vec_id": pa.array(ids), "cosine": pa.array(sims)}
             )
 
     partials = ds.map_batches(CellScorer, batch_format="pyarrow", concurrency=2).take_all()
@@ -262,3 +322,18 @@ def ivf_topk(
     return pa.table(
         {"vec_id": pa.array(ids[order]), "cosine": pa.array(sims[order])}
     )
+
+
+def ivf_recall_at_k(
+    ds: "rd.Dataset", query_vecs: list, k: int = 10,
+    nlist: int = 8, nprobe: int = 3,
+) -> float:
+    """Mean recall@k of ivf_topk vs brute_force_topk over query_vecs."""
+    hits = 0
+    for qv in query_vecs:
+        exact = set(np.asarray(brute_force_topk(ds, qv, k)["vec_id"]).tolist())
+        approx = set(
+            np.asarray(ivf_topk(ds, qv, k, nlist=nlist, nprobe=nprobe)["vec_id"]).tolist()
+        )
+        hits += len(exact & approx) / max(1, len(exact))
+    return hits / max(1, len(query_vecs))

@@ -107,28 +107,48 @@ def content_hashes(ds: "rd.Dataset") -> "rd.Dataset":
 
 class LangId:
     """Actor-pool language-ID stage: profiles compiled once per actor
-    (ST1 pattern). Heuristic: argmax stopword-set overlap; ties and
-    no-overlap -> 'und'."""
+    (ST1 pattern). Heuristic: argmax DISTINCT-token overlap with each
+    profile set; ties break to the alphabetically first language,
+    no-overlap -> 'und'. Columnar body: one dictionary encode, one
+    (doc, token)-dedup, one pc.index_in per profile, bincount counts —
+    no per-token Python loop."""
 
     def __init__(self, profiles: dict[str, set[str]] | None = None):
-        self.profiles = {k: frozenset(v) for k, v in (profiles or LANG_PROFILES).items()}
-        self.order = sorted(self.profiles)
+        profs = {k: frozenset(v) for k, v in (profiles or LANG_PROFILES).items()}
+        self.order = sorted(profs)
+        self.prof_arrays = [
+            pa.array(sorted(profs[lang]), pa.string()) for lang in self.order
+        ]
+        self.out_langs = np.array(self.order + ["und"], dtype=object)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
         flat, parents = flatten_tokens(batch["text"])
-        toks_per_doc: list[set] = [set() for _ in range(batch.num_rows)]
-        for t, p in zip(flat.to_pylist(), parents.to_pylist()):
-            toks_per_doc[p].add(t)
-        langs = []
-        for toks in toks_per_doc:
-            best, best_n = "und", 0
-            for lang in self.order:
-                n = len(toks & self.profiles[lang])
-                if n > best_n:
-                    best, best_n = lang, n
-            langs.append(best)
+        counts = np.zeros((n, len(self.order)), dtype=np.int64)
+        if len(flat):
+            dic = flat.dictionary_encode()
+            codes = np.asarray(dic.indices, dtype=np.int64)
+            par = np.asarray(parents, dtype=np.int64)
+            # distinct (doc, token) pairs — overlap is set-based
+            keys = par * len(dic.dictionary) + codes
+            _, first = np.unique(keys, return_index=True)
+            upar, ucode = par[first], codes[first]
+            for li, prof in enumerate(self.prof_arrays):
+                # vocab positions belonging to this profile (C++ hash probe)
+                hit = pc.index_in(dic.dictionary, value_set=prof)
+                member_codes = np.flatnonzero(
+                    np.asarray(hit.is_valid(), dtype=bool)
+                )
+                if len(member_codes):
+                    sel = np.isin(ucode, member_codes)
+                    counts[:, li] = np.bincount(upar[sel], minlength=n)
+        best_n = counts.max(axis=1)
+        best_i = np.where(best_n > 0, counts.argmax(axis=1), len(self.order))
         return pa.table(
-            {"doc_id": batch["doc_id"], "pred_lang": pa.array(langs, pa.string())}
+            {
+                "doc_id": batch["doc_id"],
+                "pred_lang": pa.array(self.out_langs[best_i], pa.string()),
+            }
         )
 
 
@@ -167,29 +187,55 @@ def token_counts(ds: "rd.Dataset") -> "rd.Dataset":
     return ds.map_batches(per_batch, batch_format="pyarrow")
 
 
+FP_P = (1 << 31) - 1  # Mersenne31: products fit int64, SQL HUGEINT-safe
+FP_B = 1000003
+
+
 def rolling_fingerprints(ds: "rd.Dataset", window: int = 8) -> "rd.Dataset":
     """Rabin-style rolling hash over the token stream: per doc, the min
-    of window polynomial hashes — a cheap shift-robust fingerprint."""
-    B = np.int64(1000003)
+    of `window`-token polynomial hashes — a cheap shift-robust
+    fingerprint. Hash: sum_j th[i+j] * B^j mod (2^31 - 1) with
+    th = md5_number_upper(token) mod (2^31 - 1) — small modulus chosen
+    so every product fits int64 (vectorizable) and DuckDB can mirror it
+    exactly (__ray_entry__ doc_fingerprint oracle). A doc with fewer
+    than `window` tokens hashes one window over all its tokens; an
+    empty doc fingerprints to 0. Vectorized: per-UNIQUE-token md5, one
+    accumulation pass per window offset, per-doc minimum.reduceat —
+    no per-doc Python loop (only docs shorter than the window, rare,
+    take a scalar path)."""
+    coeff = np.empty(window, np.int64)
+    coeff[0] = 1
+    for j in range(1, window):
+        coeff[j] = coeff[j - 1] * FP_B % FP_P
 
     def per_batch(batch: pa.Table) -> pa.Table:
+        from quickray.extras.dedup import _token_hash_u64
+
         flat, parents = flatten_tokens(batch["text"])
-        par = np.asarray(parents)
-        th = np.array(
-            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") >> 1
-             for t in flat.to_pylist()],
-            dtype=np.int64,
-        )
         n = batch.num_rows
         fps = np.zeros(n, dtype=np.int64)
-        for d in range(n):
-            h = th[par == d]
-            if len(h) == 0:
-                continue
-            w = min(window, len(h))
-            pw = B ** np.arange(w, dtype=np.int64)  # wraps mod 2^64 — fine, it's a hash
-            roll = np.convolve(h, pw, mode="valid") if len(h) >= w else np.array([h @ pw[: len(h)]])
-            fps[d] = np.min(roll)
+        par = np.asarray(parents, dtype=np.int64)
+        th = (_token_hash_u64(flat) % np.uint64(FP_P)).astype(np.int64)
+        m = len(th)
+        ntok = np.bincount(par, minlength=n) if m else np.zeros(n, np.int64)
+        if m >= window:
+            acc = np.zeros(m - window + 1, np.int64)
+            for j in range(window):
+                acc = (acc + th[j : m - window + 1 + j] * coeff[j]) % FP_P
+            valid = par[: m - window + 1] == par[window - 1 :]
+            if valid.any():
+                win_doc = par[: m - window + 1][valid]
+                win_hash = acc[valid]
+                starts = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(win_doc)) + 1)
+                )
+                fps[win_doc[starts]] = np.minimum.reduceat(win_hash, starts)
+        doc_start = np.concatenate(([0], np.cumsum(ntok)))[:-1]
+        for d in np.flatnonzero((ntok > 0) & (ntok < window)):
+            acc1 = 0
+            for j in range(ntok[d]):
+                acc1 = (acc1 + int(th[doc_start[d] + j]) * int(coeff[j])) % FP_P
+            fps[d] = acc1
         return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps)})
 
     return ds.map_batches(per_batch, batch_format="pyarrow")

