@@ -175,7 +175,7 @@ class _Source:
             h = hashlib.sha256()
             n = source.num_rows
             step = max(1, n // 64)
-            sample = source.take(list(range(0, n, step)))
+            sample = source.take(np.arange(0, n, step, dtype=np.int64))
             for col in ("repo", "path", "content"):
                 if col in source.column_names:
                     for v in sample[col].to_pylist():
@@ -207,22 +207,29 @@ class _Source:
         return pa.concat_tables(ray.get(refs))
 
     def data_signature(self) -> str:
-        """Order-independent full-content signature (sum of per-row
-        crc32(repo, path, content) + count) — one streaming columnar
-        pass over any source form. The certain gate for delta flows,
-        where footer/sample fingerprints are not enough."""
-        import zlib
+        """Order-independent full-content signature — one streaming
+        columnar pass over any source form. Collision-resistant
+        construction (this gates delta rebuilds — a spurious match
+        would serve a stale partition): per-row sha256(repo, path,
+        content), accumulated as two independent mod-2^62 sums over
+        disjoint 8-byte digest windows (~124 bits of accumulator;
+        modular sums of cryptographic digests stay collision-resistant
+        for non-adversarial and adversarial-rewrite cases alike,
+        unlike the crc32 sum this replaces) plus the exact row count."""
 
         def sigb(t: pa.Table) -> pa.Table:
-            s = 0
+            s1 = s2 = 0
             for r, p, c in zip(
                 t["repo"].to_pylist(), t["path"].to_pylist(),
                 t["content"].to_pylist(),
             ):
-                s += zlib.crc32(f"{r}\x01{p}\x01{c or ''}".encode())
+                d = hashlib.sha256(f"{r}\x01{p}\x01{c or ''}".encode()).digest()
+                s1 += int.from_bytes(d[:8], "little")
+                s2 += int.from_bytes(d[8:16], "little")
             return pa.table(
                 {
-                    "s": pa.array([s % (1 << 62)], pa.int64()),
+                    "s1": pa.array([s1 % (1 << 62)], pa.int64()),
+                    "s2": pa.array([s2 % (1 << 62)], pa.int64()),
                     "n": pa.array([t.num_rows], pa.int64()),
                 }
             )
@@ -232,10 +239,15 @@ class _Source:
         agg = (
             self.read(["repo", "path", "content"])
             .map_batches(sigb, batch_format="pyarrow")
-            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .aggregate(
+                Sum("s1", alias_name="s1"),
+                Sum("s2", alias_name="s2"),
+                Sum("n", alias_name="n"),
+            )
         )
-        s = int(agg["s"] or 0)
-        return f"datasig:{s % (1 << 62)}:{int(agg['n'] or 0)}"
+        s1 = int(agg["s1"] or 0) % (1 << 62)
+        s2 = int(agg["s2"] or 0) % (1 << 62)
+        return f"datasig:{s1}:{s2}:{int(agg['n'] or 0)}"
 
     def sample_content(self, mod: int) -> tuple["rd.Dataset", float]:
         """~1/mod deterministic sample of the content column and the
@@ -411,6 +423,10 @@ def build_index(
             man.mark_done("docids", elapsed=time.time() - t0,
                           counters={"n_docs": len(ranked)})
         ranked = pq.read_table(keys_path)["key"].combine_chunks()
+        if len(ranked) == 0:
+            raise ValueError(
+                "empty corpus: the source has 0 rows — nothing to index"
+            )
         rank_ref = ray.put(ranked)
         n_docs_expected = len(ranked)
     else:
@@ -444,11 +460,22 @@ def build_index(
     stats_path = os.path.join(out_dir, "stats", "stats.json")
     if not man.phase_done("stats"):
         d = man.phase_dir("stats")
+        if pads.dataset(docbase_dir, format="parquet").count_rows() == 0:
+            # id_col path can't know emptiness before the docbase pass
+            raise ValueError(
+                "empty corpus: the source produced 0 docbase rows — "
+                "nothing to index (check the source path/table)"
+            )
         lens = rd.read_parquet(docbase_dir, columns=["doc_id", "doc_len"])
         agg = lens.aggregate(
             Count(), Sum("doc_len", alias_name="total_tokens"),
             Min("doc_id", alias_name="min_id"), Max("doc_id", alias_name="max_id"),
         )
+        if agg is None or not agg.get("count()"):
+            raise ValueError(
+                "empty corpus: the source produced 0 docbase rows — "
+                "nothing to index (check the source path/table)"
+            )
         n_docs = int(agg["count()"])
         total_tokens = int(agg["total_tokens"])
         if not (agg["min_id"] == 0 and agg["max_id"] == n_docs - 1):

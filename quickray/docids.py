@@ -39,6 +39,15 @@ def rank_keys(keys: pa.Table) -> pa.Array:
         r = r.combine_chunks()
     if isinstance(p, pa.ChunkedArray):
         p = p.combine_chunks()
+    # the \x01 separator must not occur inside either component, or the
+    # joined key is ambiguous (false duplicate errors / misassigned
+    # ids) and joined-string order can diverge from (repo, path) order
+    for name, col in (("repo", r), ("path", p)):
+        if pc.any(pc.match_substring(col, "\x01")).as_py():
+            raise ValueError(
+                f"{name} contains the reserved key separator \\x01; "
+                "keys must be separator-free for rank-based doc_ids"
+            )
     joined = pc.binary_join_element_wise(r, p, "\x01")
     srt = joined.take(pc.array_sort_indices(joined))
     if len(srt) > 1:

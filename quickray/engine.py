@@ -62,7 +62,12 @@ class Index:
             os.path.join(out_dir, "segments"), filters=filters
         )
         self._terms = {t: i for i, t in enumerate(self._seg["term"].to_pylist())}
-        self._cache: dict[str, Posting | None] = {}
+        from collections import OrderedDict
+
+        # decoded-posting LRU (recency eviction — a fill-once cap would
+        # stop caching new hot terms on large-vocab serving)
+        self._cache: "OrderedDict[str, Posting | None]" = OrderedDict()
+        self._cache_cap = 4096
         if preload_top_df:
             # decode the heaviest postings once at load time (serving
             # actors pay this in __init__, never on the query path)
@@ -72,6 +77,7 @@ class Index:
 
     def posting(self, term: str) -> Posting | None:
         if term in self._cache:
+            self._cache.move_to_end(term)
             return self._cache[term]
         i = self._terms.get(term)
         if i is None:
@@ -86,8 +92,9 @@ class Index:
                 block_last=np.asarray(self._seg["block_last"][i].as_py(), np.int64),
                 block_max=np.asarray(self._seg["block_max"][i].as_py(), np.float64),
             )
-        if len(self._cache) < 4096:
-            self._cache[term] = p
+        self._cache[term] = p
+        if len(self._cache) > self._cache_cap:
+            self._cache.popitem(last=False)
         return p
 
     @property

@@ -76,3 +76,63 @@ def test_missing_term_and_k_zero(tmp_path):
     assert len(ids) == 0
     ids, _ = eng.search(Query(tree=Term("alpha"), k=0))
     assert len(ids) == 0
+
+
+def test_empty_corpus_raises(tmp_path):
+    tbl = pa.table(
+        {
+            "repo": pa.array([], pa.string()),
+            "path": pa.array([], pa.string()),
+            "commit": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "content": pa.array([], pa.string()),
+        }
+    )
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_index(tbl, str(tmp_path / "idx"))
+
+
+def test_separator_in_key_rejected():
+    from quickray.docids import rank_keys
+
+    keys = pa.table(
+        {"repo": pa.array(["r\x01evil"]), "path": pa.array(["f.go"])}
+    )
+    with pytest.raises(ValueError, match="separator"):
+        rank_keys(keys)
+
+
+def test_posting_cache_lru_evicts(tmp_path):
+    out = _tiny(tmp_path, ["alpha beta", "beta gamma", "gamma delta"])
+    ix = Index(out)
+    ix._cache_cap = 2
+    ix.posting("alpha")
+    ix.posting("beta")
+    ix.posting("alpha")  # refresh alpha -> beta is now LRU
+    ix.posting("gamma")  # evicts beta, never stops caching
+    assert "alpha" in ix._cache and "gamma" in ix._cache
+    assert "beta" not in ix._cache
+    p = ix.posting("beta")  # re-decodes fine after eviction
+    assert p is not None and len(p.doc_ids) == 2
+
+
+def test_data_signature_content_sensitive(ray_session):
+    from quickray.build import _Source
+
+    def tab(contents):
+        return pa.table(
+            {
+                "repo": pa.array(["r"] * len(contents)),
+                "path": pa.array([f"f{i}" for i in range(len(contents))]),
+                "commit": pa.array(["c"] * len(contents)),
+                "lang": pa.array(["go"] * len(contents)),
+                "content": pa.array(contents, pa.string()),
+            }
+        )
+
+    s1 = _Source(tab(["aa", "bb"])).data_signature()
+    s2 = _Source(tab(["aa", "bc"])).data_signature()
+    s3 = _Source(tab(["aa", "bb"])).data_signature()
+    assert s1 == s3
+    assert s1 != s2
+    assert s1.endswith(":2")  # row count recorded
