@@ -1,0 +1,187 @@
+"""Delta + tombstone serving over built indexes (SURVEY.md §2.7).
+
+The batch answer to the reference's mutable AddDoc/DeleteDoc serving
+(index_service/indexer.go:70-124, gRPC surface index_service.go:89-106):
+serve (main ∪ delta) − tombstones through already-built index
+partitions WITHOUT rebuilding untouched partitions. A small delta
+corpus is indexed on its own (a normal, fast `build_index` run); a
+deleted-key set tombstones main-index docs at query time.
+
+Score identity with a from-scratch rebuild over the live corpus:
+
+- n_docs / avgdl: corrected exactly from the tombstoned docs' docmeta
+  doc_len (the forward index knows |d| for every removed doc).
+- per-term df: corrected lazily at query time — each partition's
+  posting is masked against its tombstoned doc_ids, and live df is the
+  sum of masked posting lengths (exactly the count of live docs
+  containing the term). No stored statistic goes stale.
+- tie-break: a rebuild orders by (-score, doc_id) where doc_id is the
+  dense (repo, path) rank; ranks are monotone in key order, so sorting
+  by (-score, key) here reproduces the rebuild's order exactly.
+
+Results are therefore keyed by `repo\\x01path` (doc_id spaces of
+independent builds don't align); `tests/test_delta.py` asserts
+(key, score) identity with a from-scratch rebuild through the full
+add -> search -> delete -> search -> re-add(update) lifecycle
+(indexer_test.go:56-185 analog).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from quickray.engine import Index, LocalEngine, Posting
+from quickray.query import Query
+
+
+class _MaskedIndex:
+    """Read-through view of an Index with tombstoned doc_ids removed
+    from every posting (decoded postings stay LRU-cached underneath;
+    the mask is one vectorized isin per decoded posting)."""
+
+    def __init__(self, index: Index, tomb_ids: np.ndarray):
+        self._ix = index
+        self._tomb = np.sort(np.asarray(tomb_ids, dtype=np.int64))
+        self.n_docs = index.n_docs  # id-space size (dense-array bound)
+        self.avgdl = index.avgdl
+        self.stats = index.stats
+        self.out_dir = index.out_dir
+
+    def posting(self, term: str) -> Posting | None:
+        p = self._ix.posting(term)
+        if p is None or len(self._tomb) == 0:
+            return p
+        live = ~np.isin(p.doc_ids, self._tomb, assume_unique=True)
+        if live.all():
+            return p
+        return Posting(
+            doc_ids=p.doc_ids[live],
+            tfs=p.tfs[live],
+            dls=p.dls[live],
+            bits=p.bits[live],
+            df=int(live.sum()),
+            block_last=p.block_last,  # unused: masked serving never WANDs
+            block_max=p.block_max,
+        )
+
+    def doc_lens(self, doc_ids: np.ndarray) -> np.ndarray:
+        return self._ix.doc_lens(doc_ids)
+
+
+class _LiveDf:
+    """Lazy per-term live document frequency: sum of tombstone-masked
+    posting lengths across all live parts. Quacks like the dict
+    LocalEngine expects for its global-df override; computed once per
+    term per engine instance, then cached."""
+
+    def __init__(self, indexes: list[_MaskedIndex | Index]):
+        self._ixs = indexes
+        self._cache: dict[str, int] = {}
+
+    def get(self, term: str, default: int = 0) -> int:
+        df = self._cache.get(term)
+        if df is None:
+            df = 0
+            for ix in self._ixs:
+                p = ix.posting(term)
+                if p is not None:
+                    df += len(p.doc_ids)
+            self._cache[term] = df
+        return df
+
+
+class DeltaEngine:
+    """Serve (main ∪ delta) − tombstones with rebuild-identical scores.
+
+    Parameters
+    ----------
+    main_dirs : built index dirs (one, or build_partitioned's parts)
+    delta_dir : optional index dir built over the added/updated docs
+    deleted_keys : iterable of 'repo\\x01path' keys removed from the
+        corpus. Keys present in the delta corpus are tombstoned in the
+        main index automatically (the delta version wins); deleted_keys
+        therefore only needs the true deletions.
+    """
+
+    def __init__(
+        self,
+        main_dirs: list[str],
+        delta_dir: str | None = None,
+        deleted_keys=(),
+    ):
+        self._main = [Index(d) for d in main_dirs]
+        self._delta = Index(delta_dir) if delta_dir else None
+        tomb_keys = set(deleted_keys)
+        if self._delta is not None:
+            tomb_keys |= set(self._delta.keys_by_id().tolist())
+        masked: list[_MaskedIndex] = []
+        n_tomb = 0
+        tomb_tokens = 0
+        for ix in self._main:
+            keys = ix.keys_by_id()
+            if tomb_keys:
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                hit = pc.is_in(
+                    pa.array(keys.tolist(), pa.string()),
+                    value_set=pa.array(sorted(tomb_keys), pa.string()),
+                )
+                tomb_ids = np.flatnonzero(
+                    np.asarray(hit, dtype=bool)
+                ).astype(np.int64)
+            else:
+                tomb_ids = np.empty(0, np.int64)
+            n_tomb += len(tomb_ids)
+            if len(tomb_ids):
+                dl = ix.docmeta_arrays(("doc_len",))["doc_len"]
+                tomb_tokens += int(dl[tomb_ids].sum())
+            masked.append(_MaskedIndex(ix, tomb_ids))
+        parts: list[_MaskedIndex | Index] = list(masked)
+        if self._delta is not None:
+            parts.append(self._delta)
+        n_live = sum(ix.n_docs for ix in self._main) - n_tomb
+        tokens_live = (
+            sum(ix.stats["total_tokens"] for ix in self._main) - tomb_tokens
+        )
+        if self._delta is not None:
+            n_live += self._delta.n_docs
+            tokens_live += self._delta.stats["total_tokens"]
+        self.n_docs = n_live
+        self.avgdl = tokens_live / max(1, n_live)
+        g = {"n_docs": n_live, "avgdl": self.avgdl, "df": _LiveDf(parts)}
+        self.engines = [LocalEngine(ix, global_stats=g) for ix in parts]
+        self._part_keys = [
+            ix._ix.keys_by_id() if isinstance(ix, _MaskedIndex) else ix.keys_by_id()
+            for ix in parts
+        ]
+
+    def search(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k (keys, scores) over the live corpus. Every global
+        top-k doc survives its partition's top-k (the global
+        (-score, key) order restricted to a partition preserves
+        relative order), so the merge of per-partition top-k is exact."""
+        keys, scores = [], []
+        for eng, part_keys in zip(self.engines, self._part_keys):
+            ids, sc = eng.search(q)
+            keys.append(part_keys[ids])
+            scores.append(sc)
+        k = np.concatenate(keys)
+        s = np.concatenate(scores)
+        # (-score, key) — object-dtype keys, so argsort via sorted()
+        # over the bounded merge set (<= k per partition)
+        order = sorted(range(len(k)), key=lambda i: (-s[i], k[i]))[: q.k]
+        return k[order], s[order]
+
+    def candidates(self, q: Query) -> np.ndarray:
+        """Boolean evaluation over the live corpus -> sorted key array."""
+        out = [
+            part_keys[eng.candidates(q)]
+            for eng, part_keys in zip(self.engines, self._part_keys)
+        ]
+        return np.sort(np.concatenate(out))
+
+    def count(self, q: Query) -> int:
+        """Live result count — the reference's result-count RPC analog
+        (indexer.go:60-67, sentinel.go:190-218) served per-partition."""
+        return sum(len(eng.candidates(q)) for eng in self.engines)

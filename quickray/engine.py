@@ -115,6 +115,52 @@ class Index:
             self._doc_len_arr = arr
         return arr[np.asarray(doc_ids, dtype=np.int64)]
 
+    def docmeta_arrays(self, cols: tuple[str, ...]) -> dict[str, np.ndarray]:
+        """Warm forward-index state: the requested docmeta columns as
+        dense doc_id-indexed numpy arrays, loaded ONCE per Index (i.e.
+        once per serving actor) — the BatchGet analog
+        (internal/kvdb/badger_db.go:113-142): top-k -> metadata
+        hydration after the first call reads no parquet."""
+        cache = getattr(self, "_docmeta_cache", None)
+        if cache is None:
+            cache = {}
+            self._docmeta_cache = cache
+        missing = [c for c in cols if c not in cache]
+        if missing:
+            dm = pq.read_table(
+                os.path.join(self.out_dir, "docmeta"),
+                columns=["doc_id"] + missing,
+            )
+            order = np.asarray(dm["doc_id"])
+            for c in missing:
+                vals = dm[c]
+                if pa.types.is_integer(vals.type):
+                    arr = np.zeros(self.n_docs, dtype=np.int64)
+                    arr[order] = np.asarray(vals)
+                else:
+                    arr = np.empty(self.n_docs, dtype=object)
+                    arr[order] = np.asarray(vals.to_pylist(), dtype=object)
+                cache[c] = arr
+        return {c: cache[c] for c in cols}
+
+    def keys_by_id(self) -> np.ndarray:
+        """Dense doc_id -> 'repo\\x01path' key array (object dtype)."""
+        cache = getattr(self, "_keys_by_id", None)
+        if cache is None:
+            dm = self.docmeta_arrays(("repo", "path"))
+            cache = np.array(
+                [f"{r}\x01{p}" for r, p in zip(dm["repo"], dm["path"])],
+                dtype=object,
+            )
+            self._keys_by_id = cache
+        return cache
+
+    def hydrate(self, doc_ids: np.ndarray, cols: tuple[str, ...]) -> dict[str, np.ndarray]:
+        """Point-lookup metadata for doc_ids from the warm dense arrays."""
+        arrs = self.docmeta_arrays(cols)
+        ids = np.asarray(doc_ids, dtype=np.int64)
+        return {c: arrs[c][ids] for c in cols}
+
     def df_map(self) -> dict[str, int]:
         """term -> df straight from the segment column (no posting
         decode — df is materialized at merge time)."""
@@ -333,9 +379,16 @@ class QueryEngineActor:
         shards: set[int] | None = None,
         preload_top_df: int = 64,
         mode: str = "topk",
+        hydrate_cols: tuple[str, ...] = (),
     ):
         self.engine = LocalEngine(Index(index_dir, shards, preload_top_df))
         self.mode = mode
+        self.hydrate_cols = tuple(hydrate_cols)
+        if self.hydrate_cols:
+            # warm the dense forward-index arrays in __init__ so the
+            # query path never reads parquet (BatchGet analog,
+            # internal/kvdb/badger_db.go:113-142)
+            self.engine.index.docmeta_arrays(self.hydrate_cols)
 
     def _contrib_rows(self, batch: pa.Table) -> pa.Table:
         from quickray.query import flat_or_terms
@@ -378,11 +431,16 @@ class QueryEngineActor:
             ranks.extend(range(1, len(ids) + 1))
             docs.extend(ids.tolist())
             scores.extend(sc.tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(qids, pa.string()),
-                "rank": pa.array(ranks, pa.int64()),
-                "doc_id": pa.array(docs, pa.int64()),
-                "score": pa.array(scores, pa.float64()),
-            }
-        )
+        out = {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+        if self.hydrate_cols:
+            meta = self.engine.index.hydrate(
+                np.asarray(docs, dtype=np.int64), self.hydrate_cols
+            )
+            for c in self.hydrate_cols:
+                out[c] = pa.array(meta[c].tolist())
+        return pa.table(out)

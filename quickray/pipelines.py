@@ -209,19 +209,25 @@ def bm25_topk(sf_dir: str) -> pa.Table:
 
 
 def forward_lookup(sf_dir: str) -> pa.Table:
-    """J1: top-10 candidates joined back to the forward index (docmeta)."""
+    """J1: top-10 candidates hydrated from the WARM forward index —
+    Index.hydrate serves lang/sha256 from dense in-memory arrays
+    (loaded once per engine), no per-query parquet read or join
+    (BatchGet analog; bench.py reports the hydrated p50)."""
     eng = docs_engine(sf_dir)
     q = Query(tree=Or((Term("spark"), Term("hash"))), k=10**9)
     ids, scores = eng.search(q)
     ids, scores = topk_rounded(ids, scores, 10)
-    dm = pq.read_table(
-        os.path.join(eng.index.out_dir, "docmeta"),
-        columns=["doc_id", "lang", "sha256"],
+    order = np.argsort(ids)
+    ids, scores = ids[order], scores[order]
+    meta = eng.index.hydrate(ids, ("lang", "sha256"))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "score": pa.array(round_sql(scores, 4)),
+            "lang": pa.array(meta["lang"].tolist(), pa.string()),
+            "sha256": pa.array(meta["sha256"].tolist(), pa.string()),
+        }
     )
-    hit = pa.table(
-        {"doc_id": pa.array(ids), "score": pa.array(round_sql(scores, 4))}
-    )
-    return hit.join(dm, keys="doc_id").sort_by("doc_id")
 
 
 def count_by_lang(sf_dir: str):

@@ -1,0 +1,178 @@
+"""Delta + tombstone serving (quickray.delta.DeltaEngine) vs a
+from-scratch rebuild — the batch analog of the reference's mutable
+AddDoc/DeleteDoc lifecycle (indexer_test.go:56-185): add -> search ->
+delete -> search -> re-add(update) -> search, each step asserting
+(key, score) identity with a full rebuild of the live corpus.
+
+Class bits are build-time doc attributes (as in the reference), so the
+identity is asserted over the flag-free query set; term/compound/OR
+shapes all go through DeltaEngine's masked-posting scoring with live
+global statistics.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from quickray.build import build_index
+from quickray.corpus import generate_corpus
+from quickray.delta import DeltaEngine
+from quickray.engine import Index, LocalEngine
+from quickray.oracle import Oracle
+from quickray.query import Query
+from quickray.queryset import make_query_set
+
+
+def _flag_free(queries):
+    return [
+        q for q in queries
+        if q.on_flag == 0 and q.off_flag == 0 and not any(q.or_flags)
+    ]
+
+
+def _retag(tbl: pa.Table, prefix: str) -> pa.Table:
+    """Give rows unique keys (delta additions must not collide)."""
+    path = pc.binary_join_element_wise(
+        pa.scalar(prefix), tbl["path"].combine_chunks(), "/"
+    )
+    return tbl.set_column(tbl.schema.get_field_index("path"), "path", path)
+
+
+def _update_content(tbl: pa.Table, rows: list[int]) -> pa.Table:
+    """Same keys, changed content for the given row positions."""
+    content = tbl["content"].to_pylist()
+    for i in rows:
+        content[i] = content[i] + " refreshed delta tokens golang"
+    return tbl.set_column(
+        tbl.schema.get_field_index("content"),
+        "content",
+        pa.array(content, pa.string()),
+    )
+
+
+def _rebuild_search(tbl: pa.Table, out: str, queries) -> dict:
+    build_index(tbl, out, num_salts=1, num_shards=8, num_parts=8)
+    ix = Index(out)
+    eng = LocalEngine(ix)
+    keys = ix.keys_by_id()
+    res = {}
+    for q in queries:
+        ids, sc = eng.search(q)
+        res[q.id] = (keys[ids].tolist(), sc)
+    return res
+
+
+def _assert_same(name, got_keys, got_scores, exp_keys, exp_scores):
+    assert got_keys.tolist() == exp_keys, name
+    assert np.allclose(got_scores, exp_scores, rtol=1e-9, atol=1e-12), name
+
+
+def test_add_delete_update_lifecycle(tmp_path, ray_session):
+    base = generate_corpus(240, seed=3)
+    additions = _retag(generate_corpus(40, seed=5), "delta")
+    updated_rows = [3, 17, 40, 99]
+    updates = _update_content(
+        base.take(np.asarray(updated_rows, np.int64)), range(len(updated_rows))
+    )
+    deleted_rows = [7, 8, 120, 200, 201]
+    del_keys = [
+        f"{base['repo'][i].as_py()}\x01{base['path'][i].as_py()}"
+        for i in deleted_rows
+    ]
+    upd_keys = {
+        f"{base['repo'][i].as_py()}\x01{base['path'][i].as_py()}"
+        for i in updated_rows
+    }
+
+    queries = _flag_free(make_query_set(Oracle(base).df()))
+    assert len(queries) >= 10
+
+    main_dir = str(tmp_path / "main")
+    build_index(base, main_dir, num_salts=1, num_shards=8, num_parts=8)
+
+    # ---- add: serve main ∪ additions --------------------------------
+    add_dir = str(tmp_path / "delta_add")
+    build_index(additions, add_dir, num_salts=1, num_shards=8, num_parts=8)
+    eng = DeltaEngine([main_dir], delta_dir=add_dir)
+    exp = _rebuild_search(
+        pa.concat_tables([base, additions]), str(tmp_path / "rb_add"), queries
+    )
+    for q in queries:
+        k, s = eng.search(q)
+        _assert_same(f"add:{q.id}", k, s, *exp[q.id])
+
+    # ---- delete: tombstone keys, no rebuild of main -----------------
+    eng = DeltaEngine([main_dir], delta_dir=add_dir, deleted_keys=del_keys)
+    live = base.filter(
+        pc.invert(pc.is_in(
+            pc.binary_join_element_wise(
+                base["repo"].combine_chunks(),
+                base["path"].combine_chunks(),
+                "\x01",
+            ),
+            value_set=pa.array(del_keys, pa.string()),
+        ))
+    )
+    exp = _rebuild_search(
+        pa.concat_tables([live, additions]), str(tmp_path / "rb_del"), queries
+    )
+    for q in queries:
+        k, s = eng.search(q)
+        _assert_same(f"del:{q.id}", k, s, *exp[q.id])
+
+    # ---- re-add (update): delta carries new versions; main copies of
+    # the same keys are tombstoned automatically -----------------------
+    upd_delta = pa.concat_tables([additions, updates])
+    upd_dir = str(tmp_path / "delta_upd")
+    build_index(upd_delta, upd_dir, num_salts=1, num_shards=8, num_parts=8)
+    eng = DeltaEngine([main_dir], delta_dir=upd_dir, deleted_keys=del_keys)
+    live_main = base.filter(
+        pc.invert(pc.is_in(
+            pc.binary_join_element_wise(
+                base["repo"].combine_chunks(),
+                base["path"].combine_chunks(),
+                "\x01",
+            ),
+            value_set=pa.array(sorted(set(del_keys) | upd_keys), pa.string()),
+        ))
+    )
+    exp = _rebuild_search(
+        pa.concat_tables([live_main, upd_delta]), str(tmp_path / "rb_upd"), queries
+    )
+    for q in queries:
+        k, s = eng.search(q)
+        _assert_same(f"upd:{q.id}", k, s, *exp[q.id])
+
+    # live result-count RPC analog
+    q0 = queries[0]
+    assert eng.count(q0) == len(eng.candidates(q0))
+
+
+def test_pure_delete_no_delta(tmp_path, ray_session):
+    base = generate_corpus(150, seed=9)
+    main_dir = str(tmp_path / "main")
+    build_index(base, main_dir, num_salts=1, num_shards=8, num_parts=8)
+    del_rows = [0, 5, 50, 149]
+    del_keys = [
+        f"{base['repo'][i].as_py()}\x01{base['path'][i].as_py()}"
+        for i in del_rows
+    ]
+    queries = _flag_free(make_query_set(Oracle(base).df()))[:8]
+    eng = DeltaEngine([main_dir], deleted_keys=del_keys)
+    live = base.filter(
+        pc.invert(pc.is_in(
+            pc.binary_join_element_wise(
+                base["repo"].combine_chunks(),
+                base["path"].combine_chunks(),
+                "\x01",
+            ),
+            value_set=pa.array(del_keys, pa.string()),
+        ))
+    )
+    exp = _rebuild_search(live, str(tmp_path / "rb"), queries)
+    for q in queries:
+        k, s = eng.search(q)
+        _assert_same(f"puredel:{q.id}", k, s, *exp[q.id])
+    # deleted docs never appear
+    for q in queries:
+        assert not set(eng.candidates(q)) & set(del_keys)
