@@ -174,6 +174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores_single": P.bm25_scores_single,
         "bm25_topk": P.bm25_topk,
         "forward_lookup": P.forward_lookup,
+        # delta/tombstone serving (§2.7): main ∪ delta − deletes with
+        # query-time-corrected global stats, no rebuild of main
+        "delta_bm25": P.delta_bm25,
         # aggregates
         "count_by_lang": P.count_by_lang,
         "top_terms": P.top_terms,
@@ -286,6 +289,57 @@ ORDER BY round(s.score, 4) DESC, s.doc_id LIMIT 10
 """,
         "count_by_lang": """
 SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+""",
+        # BM25 over the LIVE corpus: last 10% of doc_ids live in a
+        # delta index, main docs with doc_id % 7 == 3 are tombstoned;
+        # the oracle recomputes every statistic over the live subset
+        "delta_bm25": """
+WITH cutv AS (
+  SELECT (count(*) - count(*) // 10)::BIGINT AS cut FROM documents
+),
+live AS (
+  SELECT * FROM documents
+  WHERE NOT (doc_id % 7 = 3 AND doc_id < (SELECT cut FROM cutv))
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM live
+),
+tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS doc_len
+  FROM live d LEFT JOIN tokf t USING (doc_id)
+  GROUP BY d.doc_id
+),
+g AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(doc_len)::BIGINT AS total_tokens,
+         sum(doc_len)::DOUBLE / count(*) AS avgdl
+  FROM dl
+),
+df AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, term FROM tokf)
+  GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tokf WHERE term IN ('spark', 'window', 'hash')
+  GROUP BY doc_id, term
+),
+contrib AS (
+  SELECT tf.doc_id,
+         ln((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / g.avgdl)) AS c
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN g
+),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY round(score, 4) DESC, doc_id LIMIT 20
 """,
         "top_terms": f"""
 WITH {_TOK}

@@ -148,16 +148,90 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         extra["codecorpus_docs"] = r["n_docs"]
         extra["codecorpus_docs_per_sec"] = r["docs_per_sec"]
 
+        # ---- query latency with warm forward-index hydration ----
+        eng.index.docmeta_arrays(("lang", "sha256"))  # warm once
+        lat = []
+        for q in queries:
+            t0 = time.time()
+            ids, _ = eng.search(q)
+            eng.index.hydrate(ids, ("lang", "sha256"))
+            lat.append(time.time() - t0)
+        stages["query_hydrated_p50"] = statistics.median(lat)
+
         # ---- training-data extras ----
+        # minhash in the SCALE configuration (library defaults, 16
+        # bands x 4 rows) — the oracle entry's bands=num_perm recall-1
+        # config is a correctness fixture, not the production shape
+        from quickray.extras.dedup import minhash_near_duplicates
+
         t0 = time.time()
-        _consume(P.minhash_pairs_pipeline(sf_dir))
+        _consume(minhash_near_duplicates(P._docs_ds(sf_dir), threshold=0.5))
         stages["minhash_dedup"] = time.time() - t0
+        t0 = time.time()
+        _consume(P.lsh_near_dup_pipeline(sf_dir))
+        stages["lsh_near_dup"] = time.time() - t0
         t0 = time.time()
         _consume(P.ann_topk_pipeline(sf_dir))
         stages["ann_topk"] = time.time() - t0
         t0 = time.time()
         _consume(P.token_stats_pipeline(sf_dir))
         stages["token_stats"] = time.time() - t0
+        t0 = time.time()
+        _consume(P.fingerprint_pipeline(sf_dir))
+        stages["doc_fingerprint"] = time.time() - t0
+
+        # ---- sketch-kernel throughput at 8x rows (vectorization
+        # showcase: signature/simhash stages only — no pair blowup from
+        # the replicated near-identical docs) ----
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        dt = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        n0 = dt.num_rows
+        reps = []
+        for k in range(8):
+            ids = pa.array(
+                [v + k * n0 for v in dt["doc_id"].to_pylist()], pa.int64()
+            )
+            reps.append(
+                dt.set_column(dt.schema.get_field_index("doc_id"), "doc_id", ids)
+            )
+        big = (
+            rd.from_arrow(pa.concat_tables(reps))
+            .repartition(4 * num_cpus)
+            .materialize()
+        )  # from_arrow yields ONE block; split it or one core does it all
+        from quickray.extras.dedup import _make_sig_fn, simhash_signatures
+
+        t0 = time.time()
+        big.map_batches(
+            _make_sig_fn(64, 16, 3), batch_format="pyarrow", batch_size=1024
+        ).count()
+        stages["minhash_sigs_8x"] = time.time() - t0
+        extra["minhash_sig_docs_per_sec"] = 8 * n0 / stages["minhash_sigs_8x"]
+        t0 = time.time()
+        simhash_signatures(big).count()
+        stages["simhash_8x"] = time.time() - t0
+        extra["simhash_docs_per_sec"] = 8 * n0 / stages["simhash_8x"]
+
+        # ---- IVF recall vs brute force (approximate regimes) ----
+        import pyarrow.compute as pc
+
+        from quickray.extras.similarity import ivf_recall_at_k
+
+        emb_ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        et = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qvecs = [
+            et["embedding"][i].as_py()
+            for i in (0, 7, 23, 101, min(250, et.num_rows - 1))
+        ]
+        extra["ivf_recall_at_10"] = {
+            f"nprobe={npb}/8": round(
+                ivf_recall_at_k(emb_ds, qvecs, 10, nlist=8, nprobe=npb), 3
+            )
+            for npb in (2, 3, 4)
+        }
 
         sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
         try:

@@ -241,7 +241,9 @@ def minhash_candidate_pairs(
         return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
     sigs = ds.map_batches(
-        _make_sig_fn(num_perm, bands, shingle_k), batch_format="pyarrow"
+        _make_sig_fn(num_perm, bands, shingle_k),
+        batch_format="pyarrow",
+        batch_size=1024,  # bounds the (perm_chunk x shingles) intermediate
     )
     cand = sigs.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pyarrow")
     return cand.groupby(["a", "b"]).map_groups(
@@ -277,7 +279,7 @@ def shingle_set_rows(ds: "rd.Dataset", shingle_k: int) -> "rd.Dataset":
             }
         )
 
-    return ds.map_batches(per_batch, batch_format="pyarrow")
+    return ds.map_batches(per_batch, batch_format="pyarrow", batch_size=1024)
 
 
 def verify_pairs(
@@ -371,7 +373,8 @@ def simhash_signatures(ds: "rd.Dataset") -> "rd.Dataset":
             out[par[starts]] = sig.astype(np.int64)
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out)})
 
-    return ds.map_batches(per_batch, batch_format="pyarrow")
+    # bounded batches: the (tokens x 64) bit matrix is the peak
+    return ds.map_batches(per_batch, batch_format="pyarrow", batch_size=1024)
 
 
 def ngram_jaccard_pairs(

@@ -238,4 +238,4 @@ def rolling_fingerprints(ds: "rd.Dataset", window: int = 8) -> "rd.Dataset":
             fps[d] = acc1
         return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps)})
 
-    return ds.map_batches(per_batch, batch_format="pyarrow")
+    return ds.map_batches(per_batch, batch_format="pyarrow", batch_size=1024)

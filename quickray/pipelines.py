@@ -36,7 +36,17 @@ CACHE_ROOT = "/tmp/quickray_cache"
 
 
 def _docs_ds(sf_dir: str) -> "rd.Dataset":
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    """documents table, split into enough blocks to use the cluster —
+    a single small parquet file otherwise becomes ONE block and every
+    downstream map_batches runs on one core. All consumers are per-doc
+    or shuffle-aggregated, so block layout never changes results."""
+    import ray
+
+    n_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)))
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        override_num_blocks=n_blocks,
+    )
 
 
 def _emb_ds(sf_dir: str) -> "rd.Dataset":
@@ -228,6 +238,49 @@ def forward_lookup(sf_dir: str) -> pa.Table:
             "sha256": pa.array(meta["sha256"].tolist(), pa.string()),
         }
     )
+
+
+@lru_cache(maxsize=8)
+def delta_engine(sf_dir: str):
+    """Delta/tombstone serving fixture over the documents corpus:
+    main = first 90% of doc_ids (one build), delta = last 10% (its own
+    small build), tombstones = main docs with doc_id % 7 == 3. Served
+    through quickray.delta.DeltaEngine — no rebuild of main."""
+    from quickray.build import build_index
+    from quickray.delta import DeltaEngine
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    corpus = documents_as_corpus(sf_dir)
+    n = corpus.num_rows
+    cut = n - n // 10
+    main_tbl = corpus.filter(pc.less(corpus["doc_id"], cut))
+    delta_tbl = corpus.filter(
+        pc.greater_equal(corpus["doc_id"], cut)
+    ).drop_columns(["doc_id"])
+    main_out = os.path.join(CACHE_ROOT, f"deltamain_{tag}")
+    delta_out = os.path.join(CACHE_ROOT, f"deltaadd_{tag}")
+    build_index(main_tbl, main_out, id_col="doc_id", langs=DOC_LANGS, num_salts=2)
+    build_index(delta_tbl, delta_out, langs=DOC_LANGS, num_salts=2)
+    deleted = [f"docs\x01{i:010d}.txt" for i in range(cut) if i % 7 == 3]
+    return DeltaEngine([main_out], delta_dir=delta_out, deleted_keys=deleted)
+
+
+def delta_bm25(sf_dir: str) -> pa.Table:
+    """BM25 top-20 over the LIVE corpus (main ∪ delta − tombstones)
+    served by DeltaEngine with query-time-corrected statistics; the
+    oracle recomputes BM25 from scratch over the same live subset."""
+    eng = delta_engine(sf_dir)
+    q = Query(tree=Or(tuple(Term(t) for t in BM25_OR_TERMS)), k=10**9)
+    keys, scores = eng.search(q)
+    # adapter keys are 'docs\x01{doc_id:010d}.txt' — recover doc_id
+    ids = np.array(
+        [int(k.split("\x01")[1].split(".")[0]) for k in keys], dtype=np.int64
+    )
+    ids, scores = topk_rounded(ids, scores, 20)
+    return pa.table({"doc_id": pa.array(ids), "score": pa.array(scores)})
 
 
 def count_by_lang(sf_dir: str):
