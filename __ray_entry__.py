@@ -146,6 +146,43 @@ scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
 """
 
 
+# Reference-parity CSV ingest oracle (demo/job/build_index.go:23-102):
+# DuckDB re-parses the SAME fixture CSV with the reference's quirks —
+# ltrim(s, chars) IS Go's cutset TrimLeft; the Go "2006/1/2 15:4"
+# layout = 4-digit-year-only %Y/%-m/%-d %-H:%-M in fixed UTC+8;
+# ParseInt-with-ignored-error = strict-digits regex + int32 clamp.
+def _video_csv_sql(path: str) -> str:
+    counters = ", ".join(
+        f"CASE WHEN regexp_matches(f{4 + i}, '^[+-]?[0-9]+$') "
+        f"THEN least(greatest(CAST(f{4 + i} AS HUGEINT), -2147483648), "
+        f"2147483647)::BIGINT ELSE 0 END AS \"{n}\""
+        for i, n in enumerate(["view", "like", "coin", "favorite", "share"])
+    )
+    cols = ", ".join(f"'f{i}': 'VARCHAR'" for i in range(10))
+    return f"""
+WITH raw AS (
+  SELECT * FROM read_csv('{path}', header=false, null_padding=true,
+    all_varchar=true, nullstr=chr(0), auto_detect=false,
+    columns={{{cols}}})
+  WHERE f9 IS NOT NULL
+)
+SELECT
+  ltrim(f0, 'https://www.bilibili.com/video/') AS id,
+  f1 AS title,
+  f3 AS author,
+  CASE WHEN length(f2) > 4
+        AND regexp_matches(f2, '^[0-9]{{4}}/[0-9]{{1,2}}/[0-9]{{1,2}} [0-9]{{1,2}}:[0-9]{{1,2}}$')
+        AND try_strptime(f2, '%Y/%-m/%-d %-H:%-M') IS NOT NULL
+       THEN (epoch(try_strptime(f2, '%Y/%-m/%-d %-H:%-M')) - 8*3600)::BIGINT
+       ELSE 0 END AS post_time,
+  {counters},
+  coalesce(array_to_string(
+    list_filter(list_transform(string_split(f9, ','), x -> lower(trim(x))),
+                x -> x <> ''), '|'), '') AS keywords_joined
+FROM raw
+"""
+
+
 def entry() -> Any:
     """Flagship on sf0.001: build the inverted index (5 Ray phases) and
     answer the ~36-query reference set via the actor-pool query engine."""
@@ -209,8 +246,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the CSV oracle re-reads the same fixture file the pipeline
+    # parses; created here so the SQL is runnable regardless of
+    # queries()/oracle order
+    from quickray.sources import ensure_video_csv_fixture
+
+    csv_path = ensure_video_csv_fixture("/tmp/quickray_cache")
     stop = "('the', 'a', 'of', 'and', 'to')"
     return {
+        "video_csv_parse": _video_csv_sql(csv_path),
         "term_df": f"""
 WITH {_TOK}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf

@@ -216,8 +216,6 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         extra["simhash_docs_per_sec"] = 8 * n0 / stages["simhash_8x"]
 
         # ---- IVF recall vs brute force (approximate regimes) ----
-        import pyarrow.compute as pc
-
         from quickray.extras.similarity import ivf_recall_at_k
 
         emb_ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))

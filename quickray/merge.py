@@ -34,7 +34,6 @@ import numpy as np
 import pyarrow as pa
 
 from quickray.codec import (
-    block_max_metadata,
     segmented_cumsum,
     segmented_delta_encode,
     split_stream,
@@ -167,11 +166,28 @@ def make_final_merge(n_docs: int, avgdl: float, block_size: int, dl_bits_ref):
         df_per_val = np.repeat(m.g_val_lens, m.g_val_lens)
         scores = bm25_contrib(m.tfs, dls, df_per_val, n_docs, avgdl)
         ends = starts + m.g_val_lens
-        block_last, block_max = [], []
-        for s, e in zip(starts, ends):
-            last, bmax = block_max_metadata(m.docs[s:e], scores[s:e], block_size)
-            block_last.append(last)
-            block_max.append(bmax)
+        # block-max metadata for ALL groups in one pass (a per-term
+        # Python loop here was ~60% of the final-merge wall at 2M vocab)
+        lens = m.g_val_lens
+        nblocks = (lens + block_size - 1) // block_size
+        block_off = np.concatenate(([0], np.cumsum(nblocks)))
+        block_group = np.repeat(np.arange(len(lens)), nblocks)
+        within = np.arange(len(block_group)) - block_off[block_group]
+        bstart = starts[block_group] + within * block_size
+        bend = np.minimum(bstart + block_size, ends[block_group])
+        block_last_vals = m.docs[bend - 1]
+        block_max_vals = (
+            np.maximum.reduceat(scores, bstart)
+            if len(bstart)
+            else np.empty(0, np.float64)
+        )
+        block_last = pa.ListArray.from_arrays(
+            pa.array(block_off, pa.int32()), pa.array(block_last_vals, pa.int64())
+        )
+        block_max = pa.ListArray.from_arrays(
+            pa.array(block_off, pa.int32()),
+            pa.array(block_max_vals, pa.float64()),
+        )
         # the group key IS the shard id: mpart = hash(term) % num_shards
         shard = int(t["mpart"][0].as_py())
         return pa.table(
@@ -182,8 +198,8 @@ def make_final_merge(n_docs: int, avgdl: float, block_size: int, dl_bits_ref):
                 "tfs": pa.array(split_stream(tbuf, tnb, starts), pa.binary()),
                 "dls": pa.array(split_stream(dbuf, dnb, starts), pa.binary()),
                 "bitsv": pa.array(split_stream(bbuf, bnb, starts), pa.binary()),
-                "block_last": pa.array(block_last, pa.list_(pa.int64())),
-                "block_max": pa.array(block_max, pa.list_(pa.float64())),
+                "block_last": block_last,
+                "block_max": block_max,
                 "shard": pa.array([shard] * len(m.terms), pa.int64()),
             },
             schema=SEGMENT_SCHEMA,

@@ -289,17 +289,34 @@ def count_by_lang(sf_dir: str):
 
 
 def top_users_by_value(sf_dir: str) -> pa.Table:
-    """Grouped-sum + top-k over the events stream (exact: integer
-    count + value-sum rounded identically on both sides)."""
-    t = (
+    """Grouped-sum + top-10 users by value: the per-user aggregate
+    stays distributed; each output block contributes only its rounded
+    top-10 (k-th-value ties kept), so the driver never holds the full
+    user dimension."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.schema.get_field_index("vsum"), "vsum",
+            pa.array(round_sql(np.asarray(t["vsum"], np.float64), 4)),
+        )
+        v = np.asarray(t["vsum"], np.float64)
+        if len(v) > 10:
+            kth = np.partition(v, len(v) - 10)[len(v) - 10]
+            t = t.filter(pc.greater_equal(t["vsum"], kth))
+        return t
+
+    parts = (
         _events_ds(sf_dir)
         .groupby("user_id")
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="vsum"))
-        .to_pandas()
-    )
-    t["vsum"] = round_sql(t["vsum"].to_numpy(), 4)
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )  # bounded: <= 10 + ties per block
+    t = pa.Table.from_pylist(parts).to_pandas()
     t = t.sort_values(["vsum", "user_id"], ascending=[False, True]).head(10)
-    return pa.Table.from_pandas(t, preserve_index=False)
+    return pa.Table.from_pandas(
+        t[["user_id", "n", "vsum"]], preserve_index=False
+    )
 
 
 def lsh_near_dup_pipeline(sf_dir: str):
@@ -445,15 +462,24 @@ def media_features_pipeline(sf_dir: str):
     return featurize(rd.from_arrow(synthetic_media(n)))
 
 
-def events_window_pipeline(sf_dir: str) -> pa.Table:
+def events_window_pipeline(sf_dir: str):
     """Tumbling 1h windows over events: count + exact min/max(value)
-    (order-independent aggregates — hash-exact vs any oracle)."""
+    (order-independent aggregates — hash-exact vs any oracle). The
+    rounding runs inside the pipeline; the result stays a Dataset
+    (one row per (window, event_type) — never collected here)."""
     from quickray.extras.events import window_aggregate
 
-    t = window_aggregate(_events_ds(sf_dir), window_sec=3600).to_pandas()
-    t["vmin"] = round_sql(t["vmin"].to_numpy(), 4)
-    t["vmax"] = round_sql(t["vmax"].to_numpy(), 4)
-    return pa.Table.from_pandas(t, preserve_index=False)
+    def round_cols(t: pa.Table) -> pa.Table:
+        for c in ("vmin", "vmax"):
+            t = t.set_column(
+                t.schema.get_field_index(c), c,
+                pa.array(round_sql(np.asarray(t[c], np.float64), 4)),
+            )
+        return t
+
+    return window_aggregate(_events_ds(sf_dir), window_sec=3600).map_batches(
+        round_cols, batch_format="pyarrow"
+    )
 
 
 def events_sessions_pipeline(sf_dir: str):

@@ -19,7 +19,6 @@ from quickray.corpus import generate_corpus
 from quickray.delta import DeltaEngine
 from quickray.engine import Index, LocalEngine
 from quickray.oracle import Oracle
-from quickray.query import Query
 from quickray.queryset import make_query_set
 
 
