@@ -294,6 +294,16 @@ def verify_pairs(
     shingle sides shuffle only the CANDIDATE docs' sets after the first
     join), then a per-pair sorted-array intersection. No driver-side
     shingle dict — this is the 100-TB shape of LSH verification."""
+    cand = cand.materialize()  # bounded: candidate pairs only
+    if cand.count() == 0:
+        # an all-empty dataset loses its column schema through the
+        # groupby, which would break the hash join's key reference
+        return rd.from_arrow(
+            pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        )
     sh_ds = shingle_set_rows(docs_ds, shingle_k)
     j1 = cand.join(
         sh_ds, join_type="inner", num_partitions=num_partitions,

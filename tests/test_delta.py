@@ -175,3 +175,42 @@ def test_pure_delete_no_delta(tmp_path, ray_session):
     # deleted docs never appear
     for q in queries:
         assert not set(eng.candidates(q)) & set(del_keys)
+
+
+def test_delta_over_partitioned_main(tmp_path, ray_session):
+    """DeltaEngine over build_partitioned's key-range parts: tombstones
+    landing in different partitions + a delta build, compared against a
+    from-scratch single global build of the live corpus."""
+    from quickray.build import build_partitioned
+
+    base = generate_corpus(200, seed=11)
+    parts = build_partitioned(base, str(tmp_path / "parts"), n_partitions=3,
+                              num_salts=1, num_shards=8, num_parts=8)
+    assert len(parts) == 3
+    additions = _retag(generate_corpus(20, seed=12), "delta")
+    del_rows = [1, 70, 150, 199]  # spread across key ranges
+    del_keys = [
+        f"{base['repo'][i].as_py()}\x01{base['path'][i].as_py()}"
+        for i in del_rows
+    ]
+    add_dir = str(tmp_path / "delta_add")
+    build_index(additions, add_dir, num_salts=1, num_shards=8, num_parts=8)
+    eng = DeltaEngine(parts, delta_dir=add_dir, deleted_keys=del_keys)
+
+    live = base.filter(
+        pc.invert(pc.is_in(
+            pc.binary_join_element_wise(
+                base["repo"].combine_chunks(),
+                base["path"].combine_chunks(),
+                "\x01",
+            ),
+            value_set=pa.array(del_keys, pa.string()),
+        ))
+    )
+    queries = _flag_free(make_query_set(Oracle(base).df()))[:10]
+    exp = _rebuild_search(
+        pa.concat_tables([live, additions]), str(tmp_path / "rb"), queries
+    )
+    for q in queries:
+        k, s = eng.search(q)
+        _assert_same(f"part:{q.id}", k, s, *exp[q.id])

@@ -136,3 +136,31 @@ def test_data_signature_content_sensitive(ray_session):
     assert s1 == s3
     assert s1 != s2
     assert s1.endswith(":2")  # row count recorded
+
+
+def test_minhash_no_candidates(ray_session):
+    """A corpus with zero LSH collisions must flow through the
+    candidate-join verify without erroring and yield no pairs."""
+    import ray.data as rd
+
+    from quickray.extras.dedup import minhash_near_duplicates
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon zeta",
+                    "one two three four five six seven",
+                    "red orange yellow green blue indigo",
+                    "north south east west up down",
+                    "cat dog bird fish horse cow",
+                    "",  # empty doc: no shingles at all
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    got = minhash_near_duplicates(rd.from_arrow(docs), threshold=0.5)
+    rows = got.take_all() if hasattr(got, "take_all") else got.to_pylist()
+    assert rows == []
