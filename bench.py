@@ -167,6 +167,34 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.time()
         _consume(minhash_near_duplicates(P._docs_ds(sf_dir), threshold=0.5))
         stages["minhash_dedup"] = time.time() - t0
+
+        # full dedup pipeline at 8x rows: the code corpus adapted to
+        # (doc_id, text) via the build's own rank table (keys.parquet)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        keys = pq.read_table(
+            os.path.join(SCRATCH, "codeidx", "docids", "keys.parquet")
+        )["key"].combine_chunks()
+        kref = __import__("ray").put(keys)
+
+        def to_docs(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            from quickray.tokenize import rank_lookup
+
+            return pa.table(
+                {"doc_id": rank_lookup(t, _ray.get(kref)), "text": t["content"]}
+            )
+
+        code_docs = rd.read_parquet(
+            corpus_path, columns=["repo", "path", "content"]
+        ).map_batches(to_docs, batch_format="pyarrow")
+        t0 = time.time()
+        _consume(minhash_near_duplicates(code_docs, threshold=0.5))
+        stages["minhash_dedup_40k"] = time.time() - t0
+        extra["minhash_dedup_docs_per_sec"] = r["n_docs"] / stages["minhash_dedup_40k"]
         t0 = time.time()
         _consume(P.lsh_near_dup_pipeline(sf_dir))
         stages["lsh_near_dup"] = time.time() - t0

@@ -77,6 +77,38 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_delta_query(args: argparse.Namespace) -> int:
+    """Live-upsert serving: (main ∪ delta) − tombstones, scores
+    rebuild-identical (quickray/delta.py; the reference's
+    AddDoc/DeleteDoc analog)."""
+    from quickray.delta import DeltaEngine
+    from quickray.query import And, Or, Query, Term
+
+    deleted: list[str] = []
+    if args.deleted_keys:
+        with open(args.deleted_keys) as f:
+            deleted = [ln.rstrip("\n") for ln in f if ln.strip()]
+    eng = DeltaEngine(
+        args.main.split(","), delta_dir=args.delta or None,
+        deleted_keys=deleted,
+    )
+    terms = tuple(Term(t) for t in args.terms.split(","))
+    tree = And(terms) if args.mode == "and" else Or(terms)
+    q = Query(tree=tree, k=args.k)
+    t0 = time.time()
+    keys, scores = eng.search(q)
+    out = {
+        "latency_ms": round((time.time() - t0) * 1e3, 3),
+        "live_docs": eng.n_docs,
+        "hits": [
+            {"rank": i + 1, "key": k.replace("\x01", "/"), "score": float(s)}
+            for i, (k, s) in enumerate(zip(keys, scores))
+        ],
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_gen(args: argparse.Namespace) -> int:
     from quickray.corpus import ensure_corpus_parquet
 
@@ -93,8 +125,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--corpus", required=True)
     b.add_argument("--out", required=True)
     b.add_argument("--num-salts", type=int, default=8)
-    b.add_argument("--num-shards", type=int, default=64)
-    b.add_argument("--num-parts", type=int, default=128)
+    b.add_argument("--num-shards", type=int, default=256)
+    b.add_argument("--num-parts", type=int, default=256)
     b.add_argument("--hot-df", type=int, default=None)
     b.add_argument("--durable-shuffle", action="store_true",
                    help="checkpoint the map side of the exchange and run "
@@ -111,6 +143,21 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--query-json", default=None,
                    help="full TermQuery tree as JSON (overrides --terms)")
     q.set_defaults(fn=cmd_query)
+
+    d = sub.add_parser(
+        "delta-query",
+        help="query (main ∪ delta) − tombstones without rebuilding main",
+    )
+    d.add_argument("--main", required=True,
+                   help="comma-separated built index dirs (the main corpus)")
+    d.add_argument("--delta", default=None,
+                   help="index dir built over added/updated docs")
+    d.add_argument("--deleted-keys", default=None,
+                   help="file of deleted 'repo\\x01path' keys, one per line")
+    d.add_argument("--terms", required=True)
+    d.add_argument("--mode", choices=["and", "or"], default="or")
+    d.add_argument("--k", type=int, default=10)
+    d.set_defaults(fn=cmd_delta_query)
 
     g = sub.add_parser("gen", help="generate the synthetic code corpus")
     g.add_argument("--out", required=True)

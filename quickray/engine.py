@@ -357,6 +357,12 @@ class PartitionedEngine:
         order = np.lexsort((d, -s))[: q.k]
         return d[order], s[order]
 
+    def count(self, q: Query) -> int:
+        """Result-count RPC analog (indexer.go:60-67 per worker,
+        sentinel.go:190-218 sums across workers): per-partition boolean
+        count summed — no doc_ids ever leave the partitions."""
+        return sum(len(e.candidates(q)) for e in self.engines)
+
 
 class QueryEngineActor:
     """map_batches stage: batch of query-JSON strings -> result rows.
