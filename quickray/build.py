@@ -91,17 +91,29 @@ def _partial_df(t: pa.Table) -> pa.Table:
     return pa.table({"term": out["term"], "partial_df": out["count_all"]})
 
 
+# per-worker cache of the rank table's binary-search view, keyed by
+# the broadcast ObjectRef (unique per build) — same pattern as
+# _WORKER_TOKENIZERS; avoids rebuilding a million-entry probe per batch
+_WORKER_RANK_NP: dict[str, "np.ndarray"] = {}
+
+
 def _make_docbase_fn(rank_ref, id_col_present: bool):
     def to_docbase(t: pa.Table) -> pa.Table:
-        from quickray.tokenize import doc_lengths
+        from quickray.tokenize import doc_lengths, rank_probe_np
 
         if id_col_present:
             doc_id = t["doc_id"]
             if isinstance(doc_id, pa.ChunkedArray):
                 doc_id = doc_id.combine_chunks()
         else:
-            keys = ray.get(rank_ref)
-            doc_id = rank_lookup(t, keys)
+            key = rank_ref.hex()
+            ranked_np = _WORKER_RANK_NP.get(key)
+            if ranked_np is None:
+                if len(_WORKER_RANK_NP) > 4:
+                    _WORKER_RANK_NP.clear()
+                ranked_np = rank_probe_np(ray.get(rank_ref))
+                _WORKER_RANK_NP[key] = ranked_np
+            doc_id = rank_lookup(t, None, ranked_np)
         digests = [
             hashlib.sha256(s.encode()).hexdigest()
             for s in t["content"].to_pylist()

@@ -1,5 +1,6 @@
 import numpy as np
 import pyarrow as pa
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -66,3 +67,63 @@ def test_tokenizer_stage_tf_salt_bits():
     assert rows[("x", 10)]["bits"] == 1 << 0
     assert rows[("y", 90)]["bits"] == (1 << 1) | (1 << 8) | (1 << 9)
     assert rows[("func", 10)]["dl"] == 3
+
+
+def test_flatten_tokens_byte_path_equals_re():
+    """The byte-level tokenizer must be byte-for-byte identical to the
+    RE2 reference on every edge shape: nulls, empties, unicode
+    (multi-byte separators; K -> ascii 'k' lowering), slices, chunks."""
+    import numpy as np
+
+    from quickray.tokenize import flatten_tokens, flatten_tokens_re
+
+    cases = [
+        pa.array(
+            ["hello world", "", None, "a_b-c__d", "  x  ",
+             "ÜBER K gross", "中文 test 漢字", "1337_leet", "òàé", "ΣΙΓΜΑ"]
+        ),
+        pa.array([], pa.string()),
+        pa.array(["", "", ""]),
+        pa.chunked_array([pa.array(["aa bb"]), pa.array(["cc", "dd ee"])]),
+    ]
+    big = pa.array([f"line{i} alpha_beta {i%7}x" for i in range(500)])
+    cases.append(big.slice(37, 200))
+    for arr in cases:
+        f1, p1 = flatten_tokens(arr)
+        f2, p2 = flatten_tokens_re(arr)
+        assert f1.to_pylist() == f2.to_pylist()
+        assert np.array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_rank_lookup_fixed_width_probe():
+    """searchsorted probe == pc.index_in on sorted keys; overlong and
+    missing keys raise; non-ascii keys take the scatter fallback."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from quickray.tokenize import _fixed_bytes, rank_lookup, rank_probe_np, row_keys
+
+    repos = [f"org{i%5:03d}" for i in range(50)]
+    paths = [f"p{i:04d}.go" for i in range(50)]
+    keys = pa.table({"repo": pa.array(repos), "path": pa.array(paths)})
+    from quickray.docids import rank_keys
+
+    ranked = rank_keys(keys)
+    rn = rank_probe_np(ranked)
+    got = rank_lookup(keys, None, rn)
+    ref = pc.index_in(row_keys(keys), value_set=ranked).cast(pa.int64())
+    assert got.equals(ref)
+    with pytest.raises(ValueError, match="missing"):
+        rank_lookup(
+            pa.table({"repo": pa.array(["zz"]), "path": pa.array(["q"])}),
+            None, rn,
+        )
+    with pytest.raises(ValueError, match="missing"):
+        rank_lookup(
+            pa.table({"repo": pa.array(["r" * 99]), "path": pa.array(["p" * 99])}),
+            None, rn,
+        )
+    # non-ascii fallback keeps exact bytes
+    arr = pa.array(["zü-key", "a-key", "m"])
+    fb = _fixed_bytes(arr, 12)
+    assert [f.rstrip(b"\x00").decode() for f in fb] == ["zü-key", "a-key", "m"]
