@@ -237,9 +237,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": P.fingerprint_pipeline,
         "ivf_ann_topk": P.ivf_topk_pipeline,
         "langid": P.langid_pipeline,
-        # non-SQL-expressible (driver records rows-only checks)
-        "media_features": P.media_features_pipeline,
+        # CSV-quirks ingest — oracle re-parses the fixture in SQL
         "video_csv_parse": P.video_csv_parse,
+        # rows-only remainder: the honest multimodal decode stub, and
+        # the two query-set pipelines whose correctness is attested by
+        # rank-identity pytest vs the brute-force oracle instead
+        # (tests/test_build_e2e.py, tests/test_recall_sharded.py)
+        "media_features": P.media_features_pipeline,
         "reference_queries": P.reference_query_results,
         "sharded_queries": P.sharded_reference_queries,
     }
