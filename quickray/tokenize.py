@@ -32,11 +32,16 @@ for _c in b"abcdefghijklmnopqrstuvwxyz0123456789_":
     _TOKEN_BYTE[_c] = True
 
 
-def flatten_tokens_re(
+def flatten_tokens(
     content: pa.ChunkedArray | pa.Array,
 ) -> tuple[pa.Array, pa.Array]:
-    """Reference implementation: Arrow RE2 split + list flatten.
-    Kept as the equivalence oracle for flatten_tokens (tested)."""
+    """content column -> (flat token array, parent row index per token).
+    Arrow RE2 split + list flatten + parent indices — all C++ kernels.
+    A numpy byte-level variant exists below (flatten_tokens_byte,
+    byte-for-byte equivalent, pytest-enforced); in-situ A/B at 40k docs
+    x 32 cpus measured the RE2 path 3x faster inside the build (the
+    byte path's many small numpy temporaries lose to the fused C++
+    kernels at map_batches granularity), so RE2 stays the default."""
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
     low = pc.utf8_lower(content)
@@ -47,14 +52,14 @@ def flatten_tokens_re(
     return flat.filter(mask), parents.filter(mask)
 
 
-def flatten_tokens(content: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, pa.Array]:
+def flatten_tokens_byte(content: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, pa.Array]:
     """content column -> (flat token array, parent row index per token).
 
-    Vectorized byte-level tokenization: lower once (Arrow), then find
-    maximal [a-z0-9_] byte runs with numpy over the string buffer —
-    measured ~4x faster than the RE2 split on the code corpus, and
-    byte-for-byte identical to flatten_tokens_re (see the class-table
-    note above; equivalence is pytest-enforced)."""
+    Byte-level alternative: lower once (Arrow), then find maximal
+    [a-z0-9_] byte runs with numpy over the string buffer. Equivalent
+    to flatten_tokens by construction (class-table note above;
+    pytest-enforced) but measured slower in situ — kept as the
+    reference for environments without the RE2 kernel."""
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
     if len(content) == 0:
@@ -397,3 +402,4 @@ def tokenize_py(text: str) -> list[str]:
     """Reference tokenizer for the brute-force oracle (must equal the
     Arrow kernel's output exactly)."""
     return [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+

@@ -70,12 +70,12 @@ def test_tokenizer_stage_tf_salt_bits():
 
 
 def test_flatten_tokens_byte_path_equals_re():
-    """The byte-level tokenizer must be byte-for-byte identical to the
-    RE2 reference on every edge shape: nulls, empties, unicode
+    """The byte-level tokenizer variant must be byte-for-byte identical
+    to the RE2 default on every edge shape: nulls, empties, unicode
     (multi-byte separators; K -> ascii 'k' lowering), slices, chunks."""
     import numpy as np
 
-    from quickray.tokenize import flatten_tokens, flatten_tokens_re
+    from quickray.tokenize import flatten_tokens, flatten_tokens_byte
 
     cases = [
         pa.array(
@@ -90,7 +90,7 @@ def test_flatten_tokens_byte_path_equals_re():
     cases.append(big.slice(37, 200))
     for arr in cases:
         f1, p1 = flatten_tokens(arr)
-        f2, p2 = flatten_tokens_re(arr)
+        f2, p2 = flatten_tokens_byte(arr)
         assert f1.to_pylist() == f2.to_pylist()
         assert np.array_equal(np.asarray(p1), np.asarray(p2))
 
