@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": P.quality_pipeline,
         "ngram_jaccard": P.ngram_jaccard_pipeline,
         "ann_cosine_topk": P.ann_topk_pipeline,
+        "ann_multi_topk": P.ann_multi_topk_pipeline,
         "embedding_near_dup": P.embedding_near_dup_pipeline,
         # event-stream batch operators
         "events_window": P.events_window_pipeline,
@@ -445,6 +446,19 @@ WHERE i.c::DOUBLE / (sa.n + sb.n - i.c) >= 0.2
 """,
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ivf_ann_topk": _ANN_TOPK_SQL,
+        # batched ANN: one UNION ALL arm per query vector (vec_ids
+        # 0/5/9 -> query_id 0/1/2), each the exact cosine top-10
+        "ann_multi_topk": "\nUNION ALL\n".join(
+            f"""
+(WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {v})
+ SELECT {qi}::BIGINT AS query_id, vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 4) AS cosine
+ FROM embeddings
+ ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 4) DESC,
+          vec_id
+ LIMIT 10)"""
+            for qi, v in enumerate((0, 5, 9))
+        ),
         "embedding_near_dup": _NEAR_DUP_SQL,
         "lsh_near_dup": _NEAR_DUP_SQL,
         # 64-bit SimHash over the token multiset; token hash =

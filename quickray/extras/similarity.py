@@ -117,6 +117,79 @@ def _block_pair_sims(
     )
 
 
+class _BatchBruteScorer:
+    """Actor-pool stage for BATCHED queries: the (m x d) query matrix
+    is broadcast once (ray.put, fetched per actor); each data batch
+    does ONE (n x d)@(d x m) matmul and emits per-query partial top-k
+    with k-th-value ties kept."""
+
+    def __init__(self, query_ref, k: int, ndigits: int | None):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float64)).T  # (d, m)
+        self.k = k
+        self.ndigits = ndigits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from quickray.util import round_sql
+
+        m = _normalize(_batch_mat(batch))
+        sims = m @ self.q  # (n, m)
+        if self.ndigits is not None:
+            sims = round_sql(sims, self.ndigits)
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            sel = np.arange(len(ids))
+            if len(ids) > self.k:
+                kth = np.partition(col, len(col) - self.k)[len(col) - self.k]
+                sel = np.flatnonzero(col >= kth)
+            out_q.append(np.full(len(sel), qi, np.int64))
+            out_id.append(ids[sel])
+            out_s.append(col[sel])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_id)),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def brute_force_topk_batch(
+    ds: "rd.Dataset", query_vecs, k: int = 10, ndigits: int | None = 4
+) -> pa.Table:
+    """Exact cosine top-k for a BATCH of query vectors in one dataset
+    pass — the production shape for bulk ANN (one broadcast query
+    matrix, one matmul per data batch). Returns (query_id, vec_id,
+    cosine) with per-query deterministic (-cosine, vec_id) order."""
+    qm = np.asarray(query_vecs, dtype=np.float64)
+    ref = ray.put(qm)
+    partials = ds.map_batches(
+        _BatchBruteScorer,
+        fn_constructor_kwargs={"query_ref": ref, "k": k, "ndigits": ndigits},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).take_all()  # bounded: <= n_queries * (k + ties) per input block
+    qs = np.array([r["query_id"] for r in partials], dtype=np.int64)
+    ids = np.array([r["vec_id"] for r in partials], dtype=np.int64)
+    sims = np.array([r["cosine"] for r in partials], dtype=np.float64)
+    out_q, out_id, out_s = [], [], []
+    for qi in range(qm.shape[0]):
+        sel = qs == qi
+        order = np.lexsort((ids[sel], -sims[sel]))[:k]
+        out_q.append(np.full(len(order), qi, np.int64))
+        out_id.append(ids[sel][order])
+        out_s.append(sims[sel][order])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_id)),
+            "cosine": pa.array(np.concatenate(out_s)),
+        }
+    )
+
+
 def embedding_near_dup_pairs(
     ds: "rd.Dataset", threshold: float = 0.4, ndigits: int = 4,
     target_blocks: int = 16,

@@ -406,6 +406,19 @@ def ann_topk_pipeline(sf_dir: str) -> pa.Table:
     return brute_force_topk(_emb_ds(sf_dir), qvec, k=10, ndigits=4)
 
 
+def ann_multi_topk_pipeline(sf_dir: str) -> pa.Table:
+    """Batched ANN: top-10 for THREE query vectors (vec_ids 0, 5, 9)
+    in one dataset pass via the broadcast query matrix."""
+    from quickray.extras.similarity import brute_force_topk_batch
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qvecs = [
+        emb.filter(pc.equal(emb["vec_id"], i))["embedding"][0].as_py()
+        for i in (0, 5, 9)
+    ]
+    return brute_force_topk_batch(_emb_ds(sf_dir), qvecs, k=10, ndigits=4)
+
+
 def ivf_topk_pipeline(sf_dir: str) -> pa.Table:
     """IVF top-k at nprobe=4 of nlist=8 — measured rank-exact vs the
     brute-force result on the fixture (so the DuckDB cosine-top-k
