@@ -384,8 +384,12 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=int(
         os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--scaling-docs", type=int, default=240000)
-    ap.add_argument("--scaling-cpus", default="8,32")
+    ap.add_argument("--scaling-docs", type=int, default=1000000)
+    # 4 vs 16: both levels stay below the single box's ~18k docs/sec
+    # shared-disk ceiling (the regime real N-vs-4N NODE clusters run
+    # in); 8 vs 32 puts the upper level on the box ceiling and
+    # measures the hardware, not the algorithm (BASELINE.md)
+    ap.add_argument("--scaling-cpus", default="4,16")
     ap.add_argument("--scaling-attempts", type=int, default=1)
     ap.add_argument("--scaling-child", action="store_true",
                     help=argparse.SUPPRESS)

@@ -127,3 +127,39 @@ def test_rank_lookup_fixed_width_probe():
     arr = pa.array(["zü-key", "a-key", "m"])
     fb = _fixed_bytes(arr, 12)
     assert [f.rstrip(b"\x00").decode() for f in fb] == ["zü-key", "a-key", "m"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(max_size=60), max_size=8))
+def test_flatten_byte_equals_re_property(texts):
+    from quickray.tokenize import flatten_tokens, flatten_tokens_byte
+
+    arr = pa.array(texts, pa.string())
+    f1, p1 = flatten_tokens(arr)
+    f2, p2 = flatten_tokens_byte(arr)
+    assert f1.to_pylist() == f2.to_pylist()
+    assert np.asarray(p1).tolist() == np.asarray(p2).tolist()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_characters="\x00\x01",
+                                   max_codepoint=0x2FF),
+            min_size=1, max_size=20,
+        ),
+        min_size=1, max_size=40, unique=True,
+    )
+)
+def test_fixed_bytes_order_preserving(keys):
+    """Padded fixed-width bytes must sort exactly like the source
+    strings (UTF-8 byte order), for ascii and non-ascii alike."""
+    from quickray.tokenize import _fixed_bytes
+
+    arr = pa.array(sorted(keys), pa.string())
+    width = max(len(k.encode()) for k in keys)
+    fb = _fixed_bytes(arr, width)
+    assert list(fb) == sorted(fb)
+    roundtrip = [f.rstrip(b"\x00").decode() for f in fb]
+    assert roundtrip == sorted(keys)
