@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 from typing import Any
 
@@ -43,6 +44,10 @@ class Manifest:
     def __init__(self, out_dir: str, fingerprint: str):
         self.out_dir = out_dir
         self.path = os.path.join(out_dir, MANIFEST)
+        # chunked phases can complete from concurrent driver threads
+        # (build_index runs durable-shuffle chunks in parallel): the
+        # manifest dict + tmp-file rename must be serialized
+        self._lock = threading.Lock()
         self.data: dict[str, Any] = {
             "fingerprint": fingerprint,
             "created_at": time.time(),
@@ -73,7 +78,8 @@ class Manifest:
         postings/chunk_3); wipes partial output of an unfinished phase
         so reruns are idempotent."""
         rel = subdir or name
-        self.data["phases"].setdefault(name, {})["dir"] = rel
+        with self._lock:
+            self.data["phases"].setdefault(name, {})["dir"] = rel
         d = os.path.join(self.out_dir, rel)
         if clean and not self.phase_done(name) and os.path.isdir(d):
             shutil.rmtree(d)
@@ -101,8 +107,9 @@ class Manifest:
             files, rows = parquet_file_stats(d)
             rec["files"] = files
             rec["rows"] = rows
-        self.data["phases"][name] = rec
-        self._write()
+        with self._lock:
+            self.data["phases"][name] = rec
+            self._write()
 
     def counters(self, name: str) -> dict[str, Any]:
         return self.data["phases"].get(name, {}).get("counters", {})
