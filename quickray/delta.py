@@ -182,6 +182,8 @@ class DeltaEngine:
         return np.sort(np.concatenate(out))
 
     def count(self, q: Query) -> int:
-        """Live result count — the reference's result-count RPC analog
-        (indexer.go:60-67, sentinel.go:190-218) served per-partition."""
+        """Live per-query result count, summed across partitions. Merge
+        shape as sentinel.go:190-218 (sum of per-worker counts); unlike
+        the reference's Count() — which counts all forward-index docs
+        (indexer.go:60-67) — this counts the query's live matches."""
         return sum(len(eng.candidates(q)) for eng in self.engines)

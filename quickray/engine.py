@@ -358,9 +358,11 @@ class PartitionedEngine:
         return d[order], s[order]
 
     def count(self, q: Query) -> int:
-        """Result-count RPC analog (indexer.go:60-67 per worker,
-        sentinel.go:190-218 sums across workers): per-partition boolean
-        count summed — no doc_ids ever leave the partitions."""
+        """Per-query result count, broadcast-and-sum across partitions.
+        The merge SHAPE matches the reference's Count RPC (sentinel.go:
+        190-218 sums per-worker counts) — note the reference's Count()
+        counts ALL forward-index docs (indexer.go:60-67), whereas this
+        counts the query's matches; no doc_ids leave the partitions."""
         return sum(len(e.candidates(q)) for e in self.engines)
 
 

@@ -28,10 +28,31 @@ import ray.data as rd
 
 
 def _batch_mat(batch: pa.Table) -> np.ndarray:
+    """embedding column -> (n, d) float64 matrix, reshaped ZERO-COPY
+    from the Arrow list values buffer. The previous to_pylist here
+    allocated n x d PyFloat objects per batch in every similarity
+    stage; the flat-values view costs one buffer wrap (+ one cast when
+    the storage type isn't float64)."""
     col = batch["embedding"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    return np.asarray(col.to_pylist(), dtype=np.float64)
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    if col.null_count:
+        raise ValueError("embedding column contains null rows")
+    flat = col.flatten()  # offset-safe values for exactly these n lists
+    if len(flat) % n:
+        raise ValueError("ragged embedding column (unequal list lengths)")
+    d = len(flat) // n
+    if not pa.types.is_fixed_size_list(col.type):
+        import pyarrow.compute as pc
+
+        lens = pc.list_value_length(col)
+        if pc.min(lens).as_py() != d or pc.max(lens).as_py() != d:
+            raise ValueError("ragged embedding column (unequal list lengths)")
+    m = np.asarray(flat)  # zero-copy for numeric value buffers
+    return m.reshape(n, d).astype(np.float64, copy=False)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -91,10 +112,18 @@ def brute_force_topk(
 
 @ray.remote
 def _block_pair_sims(
-    t1: pa.Table, t2: pa.Table, threshold: float, ndigits: int
+    t1: pa.Table, t2: pa.Table, threshold: float, ndigits: int,
+    same_block: bool,
 ) -> pa.Table:
-    """Score one block pair; emits (a < b, cosine >= threshold). Blocks
-    arrive as object-store refs (zero-copy deref inside the task)."""
+    """Score one block pair; emits each unordered hit once as
+    (a=min(id), b=max(id), cosine >= threshold). Blocks arrive as
+    object-store refs (zero-copy deref inside the task).
+
+    Pair selection is POSITIONAL, never id-ordered: within one block
+    the strict upper triangle, across blocks every hit (the two blocks'
+    id sets are disjoint after repartition). An `ids1 < ids2` mask here
+    silently dropped cross-block pairs whenever vec_ids were not
+    globally sorted across blocks."""
     from quickray.util import round_sql
 
     if t1.num_rows == 0 or t2.num_rows == 0:  # repartition can emit empties
@@ -105,13 +134,17 @@ def _block_pair_sims(
     m1, ids1 = _normalize(_batch_mat(t1)), np.asarray(t1["vec_id"], np.int64)
     m2, ids2 = _normalize(_batch_mat(t2)), np.asarray(t2["vec_id"], np.int64)
     sims = m1 @ m2.T
-    # a < b keeps each unordered pair exactly once: within one block the
-    # upper triangle, across blocks every hit (disjoint id sets)
-    ai, bi = np.nonzero((sims >= threshold) & (ids1[:, None] < ids2[None, :]))
+    hit = sims >= threshold
+    if same_block:
+        hit = np.triu(hit, k=1)
+    ai, bi = np.nonzero(hit)
+    a, b = ids1[ai], ids2[bi]
+    swap = a > b
+    a[swap], b[swap] = b[swap], a[swap].copy()
     return pa.table(
         {
-            "a": pa.array(ids1[ai]),
-            "b": pa.array(ids2[bi]),
+            "a": pa.array(a),
+            "b": pa.array(b),
             "cosine": pa.array(round_sql(sims[ai, bi], ndigits)),
         }
     )
@@ -207,7 +240,7 @@ def embedding_near_dup_pairs(
         for r in ds.repartition(target_blocks).to_arrow_refs()
     ]
     futures = [
-        _block_pair_sims.remote(refs[i], refs[j], threshold, ndigits)
+        _block_pair_sims.remote(refs[i], refs[j], threshold, ndigits, i == j)
         for i in range(len(refs))
         for j in range(i, len(refs))
     ]

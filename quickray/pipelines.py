@@ -312,6 +312,11 @@ def top_users_by_value(sf_dir: str) -> pa.Table:
         .map_batches(partial, batch_format="pyarrow")
         .take_all()
     )  # bounded: <= 10 + ties per block
+    if not parts:  # from_pylist([]) would be schema-less -> KeyError below
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+             "vsum": pa.array([], pa.float64())}
+        )
     t = pa.Table.from_pylist(parts).to_pandas()
     t = t.sort_values(["vsum", "user_id"], ascending=[False, True]).head(10)
     return pa.Table.from_pandas(
@@ -392,6 +397,10 @@ def top_terms(sf_dir: str) -> pa.Table:
     parts = (
         term_df(sf_dir).map_batches(partial, batch_format="pyarrow").take_all()
     )  # bounded: <= 10 + ties per block
+    if not parts:  # empty corpus -> typed empty result, not KeyError
+        return pa.table(
+            {"term": pa.array([], pa.string()), "cf": pa.array([], pa.int64())}
+        )
     t = pa.Table.from_pylist(parts).to_pandas()
     t = t.sort_values(["cf", "term"], ascending=[False, True]).head(10)
     return pa.Table.from_pandas(t[["term", "cf"]], preserve_index=False)

@@ -141,6 +141,12 @@ def _fixed_bytes(arr: pa.Array, width: int) -> np.ndarray:
     n = len(arr)
     if n == 0:
         return np.empty(0, dtype=f"S{width}")
+    if arr.null_count:
+        # a null would shorten the data buffer below n*width (frombuffer
+        # error) and is silently ignored by the all(string_is_ascii) gate
+        raise ValueError(
+            "null key in fixed-width probe (repo/path columns must be non-null)"
+        )
     if int(pc.max(pc.binary_length(arr)).as_py() or 0) > width:
         raise ValueError(f"key longer than probe width {width}")
     if pc.all(pc.string_is_ascii(arr)).as_py():

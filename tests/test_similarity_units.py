@@ -1,0 +1,119 @@
+"""Unit tests for the similarity kernels: zero-copy batch matrix,
+cross-block pair completeness (the r02 ADVICE repro), and probe guards."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from quickray.extras.similarity import (
+    _batch_mat,
+    _normalize,
+    embedding_near_dup_pairs,
+)
+
+
+def _rand_emb_table(n: int, d: int, seed: int, perm: bool) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    # a few clusters so the 0.4 threshold yields real pairs
+    centers = rng.standard_normal((5, d))
+    m = centers[rng.integers(0, 5, n)] + 0.3 * rng.standard_normal((n, d))
+    ids = np.arange(n, dtype=np.int64)
+    if perm:
+        ids = rng.permutation(ids)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(m.astype(np.float32)), pa.list_(pa.float32())),
+        }
+    )
+
+
+def _exact_pairs(tbl: pa.Table, threshold: float) -> set[tuple[int, int]]:
+    m = _normalize(_batch_mat(tbl))
+    ids = np.asarray(tbl["vec_id"], np.int64)
+    sims = m @ m.T
+    xi, yi = np.nonzero(np.triu(sims >= threshold, k=1))
+    return {
+        (min(ids[x], ids[y]), max(ids[x], ids[y])) for x, y in zip(xi, yi)
+    }
+
+
+def test_near_dup_pairs_complete_with_permuted_ids(ray_session):
+    """The r02 ADVICE high finding: with vec_ids NOT sorted across
+    blocks, cross-block pairs must still all be emitted (the old
+    ids1 < ids2 mask dropped them)."""
+    tbl = _rand_emb_table(120, 8, seed=3, perm=True)
+    expect = _exact_pairs(tbl, 0.4)
+    assert len(expect) > 10  # non-trivial fixture
+    got = embedding_near_dup_pairs(
+        rd.from_arrow(tbl), threshold=0.4, target_blocks=4
+    )
+    got_pairs = set(
+        zip(np.asarray(got["a"], np.int64), np.asarray(got["b"], np.int64))
+    )
+    assert got_pairs == expect
+    # canonical order + no duplicates
+    a = np.asarray(got["a"], np.int64)
+    b = np.asarray(got["b"], np.int64)
+    assert (a < b).all()
+    assert len(got_pairs) == len(a)
+
+
+def test_batch_mat_zero_copy_paths():
+    m = np.arange(12, dtype=np.float64).reshape(4, 3)
+    # variable-size list<double>
+    t1 = pa.table(
+        {"vec_id": pa.array(range(4)), "embedding": pa.array(list(m))}
+    )
+    np.testing.assert_array_equal(_batch_mat(t1), m)
+    # sliced (non-zero offset) view must respect offsets
+    np.testing.assert_array_equal(_batch_mat(t1.slice(1, 2)), m[1:3])
+    # float32 storage upcasts
+    t2 = pa.table(
+        {"embedding": pa.array(list(m.astype(np.float32)), pa.list_(pa.float32()))}
+    )
+    np.testing.assert_array_equal(_batch_mat(t2), m)
+    # fixed-size list
+    t3 = pa.table(
+        {"embedding": pa.array(list(m), pa.list_(pa.float64(), 3))}
+    )
+    np.testing.assert_array_equal(_batch_mat(t3), m)
+    # ragged input rejected
+    t4 = pa.table({"embedding": pa.array([[1.0, 2.0], [3.0]])})
+    with pytest.raises(ValueError, match="ragged"):
+        _batch_mat(t4)
+    # null row rejected
+    t5 = pa.table({"embedding": pa.array([[1.0, 2.0], None])})
+    with pytest.raises(ValueError, match="null"):
+        _batch_mat(t5)
+
+
+def test_fixed_bytes_null_key_clear_error():
+    from quickray.tokenize import _fixed_bytes
+
+    arr = pa.array(["ok", None, "x"], pa.string())
+    with pytest.raises(ValueError, match="null key"):
+        _fixed_bytes(arr, 4)
+
+
+def test_top_users_empty_events(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from quickray.pipelines import top_users_by_value
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(empty, str(tmp_path / "events.parquet"))
+    out = top_users_by_value(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.column_names == ["user_id", "n", "vsum"]
