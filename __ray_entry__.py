@@ -183,6 +183,139 @@ FROM raw
 """
 
 
+# ---------------------------------------------------------------------------
+# Flagship query-set oracle: one SQL arm per reference query.
+#
+# The reference query set is a pure function of the per-term document
+# frequencies (quickray.queryset.make_query_set), so the oracle derives
+# the SAME set by computing df with DuckDB (tokenization already proven
+# identical by the term_df oracle) over the documents table the driver
+# compares at — /root/testdata/sf0.01 unless QUICKRAY_ORACLE_SF is set.
+# Each query becomes cand/candf/scored CTEs + one UNION ALL arm ranked
+# by (round(score,4) DESC, doc_id), exactly the rounded_rank order the
+# engine emits (quickray/engine.py QueryEngineActor).
+_ORACLE_SF = "/root/testdata/sf0.01"
+
+
+def _oracle_sf_dir() -> str:
+    import os
+
+    return os.environ.get("QUICKRAY_ORACLE_SF", _ORACLE_SF)
+
+
+def _oracle_query_set():
+    """The reference query set as the oracle sees it (df via DuckDB)."""
+    import os
+
+    import duckdb
+
+    from quickray.queryset import make_query_set
+
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM read_parquet('{path}')
+),
+tokf AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> '')
+SELECT term, count(*)::BIGINT AS df FROM tokf GROUP BY term
+"""
+    ).fetchall()
+    con.close()
+    df = {t: int(d) for t, d in rows}
+    return make_query_set(df, langs=["de", "en", "es", "fr", "zh"])
+
+
+def _tree_cand_sql(tree) -> str:
+    """Boolean tree -> set-algebra SQL over tokf (INTERSECT/UNION have
+    set semantics, matching the engine's sorted-unique doc_id arrays)."""
+    from quickray.query import And, Term
+
+    if isinstance(tree, Term):
+        return f"SELECT doc_id FROM tokf WHERE term = '{tree.term}'"
+    op = "INTERSECT" if isinstance(tree, And) else "UNION"
+    return f"\n{op}\n".join(f"({_tree_cand_sql(c)})" for c in tree.children)
+
+
+def _flag_conds(q) -> list[str]:
+    conds = []
+    if q.on_flag:
+        conds.append(f"(bits.bits & {q.on_flag}) = {q.on_flag}")
+    if q.off_flag:
+        conds.append(f"(bits.bits & {q.off_flag}) = 0")
+    for f in q.or_flags:
+        if f:  # the zero entry is skipped (M3 rule)
+            conds.append(f"(bits.bits & {f}) <> 0")
+    return conds
+
+
+def _ref_queries_sql(flat_or_only: bool) -> str:
+    """Full per-query oracle SQL: shared corpus/scoring CTEs + one
+    (cand, candf, scored) CTE triple and one ranked UNION ALL arm per
+    query. flat_or_only restricts to the term-sharded pipeline's query
+    subset (single terms / flat ORs)."""
+    from quickray.query import collect_terms, flat_or_terms
+
+    queries = _oracle_query_set()
+    if flat_or_only:
+        queries = [q for q in queries if flat_or_terms(q.tree) is not None]
+    all_terms = sorted({t for q in queries for t in collect_terms(q.tree)})
+    tlist = ", ".join(f"'{t}'" for t in all_terms)
+    ctes = [
+        _TOK.strip(), _DL.strip(), _DF.strip(), _BITS.strip(),
+        f"""alltf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tokf WHERE term IN ({tlist})
+  GROUP BY doc_id, term
+)""",
+        """allcontrib AS (
+  SELECT alltf.doc_id, alltf.term,
+         ln((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * alltf.tf * (1.2 + 1.0)
+           / (alltf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / g.avgdl)) AS c
+  FROM alltf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN g
+)""",
+    ]
+    arms = []
+    for q in queries:
+        qid = q.id
+        qterms = ", ".join(f"'{t}'" for t in collect_terms(q.tree))
+        ctes.append(f"cand_{qid} AS (\n{_tree_cand_sql(q.tree)}\n)")
+        conds = _flag_conds(q)
+        cand_name = f"cand_{qid}"
+        if conds:
+            ctes.append(
+                f"""candf_{qid} AS (
+  SELECT c.doc_id FROM cand_{qid} c JOIN bits USING (doc_id)
+  WHERE {' AND '.join(conds)}
+)"""
+            )
+            cand_name = f"candf_{qid}"
+        ctes.append(
+            f"""scored_{qid} AS (
+  SELECT a.doc_id, sum(a.c) AS score
+  FROM allcontrib a
+  WHERE a.term IN ({qterms})
+    AND a.doc_id IN (SELECT doc_id FROM {cand_name})
+  GROUP BY a.doc_id
+)"""
+        )
+        arms.append(
+            f"""(SELECT '{qid}' AS query_id,
+        row_number() OVER (ORDER BY round(score, 4) DESC, doc_id)::BIGINT AS rank,
+        doc_id, round(score, 4) AS score
+ FROM scored_{qid}
+ ORDER BY round(score, 4) DESC, doc_id
+ LIMIT {q.k})"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(arms)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: build the inverted index (5 Ray phases) and
     answer the ~36-query reference set via the actor-pool query engine."""
@@ -240,13 +373,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": P.langid_pipeline,
         # CSV-quirks ingest — oracle re-parses the fixture in SQL
         "video_csv_parse": P.video_csv_parse,
-        # rows-only remainder: the honest multimodal decode stub, and
-        # the two query-set pipelines whose correctness is attested by
-        # rank-identity pytest vs the brute-force oracle instead
+        # flagship serving paths — driver-checked against per-query SQL
+        # (one UNION ALL arm per reference query, _ref_queries_sql);
+        # ALSO rank-identity pytested vs the brute-force oracle
         # (tests/test_build_e2e.py, tests/test_recall_sharded.py)
-        "media_features": P.media_features_pipeline,
         "reference_queries": P.reference_query_results,
         "sharded_queries": P.sharded_reference_queries,
+        # rows-only remainder: the honest multimodal decode stub
+        "media_features": P.media_features_pipeline,
     }
 
 
@@ -260,6 +394,9 @@ def oracle_sql() -> dict[str, str]:
     stop = "('the', 'a', 'of', 'and', 'to')"
     return {
         "video_csv_parse": _video_csv_sql(csv_path),
+        # flagship: the reference query set, one SQL arm per query
+        "reference_queries": _ref_queries_sql(flat_or_only=False),
+        "sharded_queries": _ref_queries_sql(flat_or_only=True),
         "term_df": f"""
 WITH {_TOK}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf

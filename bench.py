@@ -135,7 +135,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
         # ---- distributed batch query (actor-pool engine) ----
         t0 = time.time()
-        _consume(P.reference_query_results(sf_dir))
+        _consume(P.reference_query_results(sf_dir, rounded=False))
         stages["query_batch"] = time.time() - t0
 
         # ---- the input_hint corpus at ~8x documents scale ----

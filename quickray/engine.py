@@ -388,9 +388,11 @@ class QueryEngineActor:
         preload_top_df: int = 64,
         mode: str = "topk",
         hydrate_cols: tuple[str, ...] = (),
+        rounded_rank: bool = False,
     ):
         self.engine = LocalEngine(Index(index_dir, shards, preload_top_df))
         self.mode = mode
+        self.rounded_rank = rounded_rank
         self.hydrate_cols = tuple(hydrate_cols)
         if self.hydrate_cols:
             # warm the dense forward-index arrays in __init__ so the
@@ -434,7 +436,20 @@ class QueryEngineActor:
         qids, ranks, docs, scores = [], [], [], []
         for qjson in batch["query"].to_pylist():
             q = query_from_json(json.loads(qjson))
-            ids, sc = self.engine.search(q)
+            if self.rounded_rank:
+                # SQL-comparable ranking: score the FULL candidate set
+                # (k widened -> no pruning shortcuts), then order by
+                # (round(score, 4) DESC, doc_id) exactly like the DuckDB
+                # oracle — near-ties become exact ties decided by doc_id
+                # identically on both sides (util.topk_rounded).
+                from dataclasses import replace
+
+                from quickray.util import topk_rounded
+
+                ids, sc = self.engine.search(replace(q, k=10**9))
+                ids, sc = topk_rounded(ids, sc, q.k)
+            else:
+                ids, sc = self.engine.search(q)
             qids.extend([q.id] * len(ids))
             ranks.extend(range(1, len(ids) + 1))
             docs.extend(ids.tolist())

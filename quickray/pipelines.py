@@ -594,28 +594,39 @@ def sharded_reference_queries(sf_dir: str, n_groups: int = 4):
     )
 
     def topk(group: pa.Table) -> pa.Table:
+        # gather: the summed contributions cover the FULL candidate set
+        # (no pre-gather truncation), so ranking by (round(score,4) DESC,
+        # doc_id) here is exactly the DuckDB oracle's order — the driver
+        # hash-checks this output against per-query SQL
+        from quickray.util import topk_rounded
+
         qid = group["query_id"][0].as_py()
         ids = np.asarray(group["doc_id"], dtype=np.int64)
         sc = np.asarray(group["score"], dtype=np.float64)
-        order = np.lexsort((ids, -sc))[: k_of.get(qid, 10)]
+        ids, sc = topk_rounded(ids, sc, k_of.get(qid, 10))
         return pa.table(
             {
-                "query_id": pa.array([qid] * len(order), pa.string()),
-                "rank": pa.array(
-                    np.arange(1, len(order) + 1, dtype=np.int64)
-                ),
-                "doc_id": pa.array(ids[order]),
-                "score": pa.array(sc[order]),
+                "query_id": pa.array([qid] * len(ids), pa.string()),
+                "rank": pa.array(np.arange(1, len(ids) + 1, dtype=np.int64)),
+                "doc_id": pa.array(ids),
+                "score": pa.array(sc),
             }
         )
 
     return merged.groupby("query_id").map_groups(topk, batch_format="pyarrow")
 
 
-def reference_query_results(sf_dir: str):
+def reference_query_results(sf_dir: str, rounded: bool = True):
     """Flagship: the full reference query set answered distributed —
     a Dataset of query JSONs map_batches'd through QueryEngineActor
-    (index loaded once per actor)."""
+    (index loaded once per actor).
+
+    rounded=True (the driver-checked default) ranks each query by
+    (round(score,4) DESC, doc_id) over the exhaustively-scored candidate
+    set so the output hash-matches the per-query DuckDB oracle
+    (__ray_entry__._ref_queries_sql); rounded=False is the production
+    path (raw-score ranking, block-max pruning active) used by bench.py
+    and the rank-identity pytests."""
     import json as _json
 
     from quickray.engine import QueryEngineActor
@@ -626,7 +637,10 @@ def reference_query_results(sf_dir: str):
     qds = rd.from_items([{"query": _json.dumps(q.to_json())} for q in queries])
     return qds.map_batches(
         QueryEngineActor,
-        fn_constructor_kwargs={"index_dir": eng.index.out_dir},
+        fn_constructor_kwargs={
+            "index_dir": eng.index.out_dir,
+            "rounded_rank": rounded,
+        },
         batch_format="pyarrow",
         concurrency=2,
         batch_size=8,
