@@ -36,6 +36,8 @@ import subprocess
 import sys
 import time
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 SCRATCH = "/tmp/quickray_bench"
 
@@ -243,8 +245,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         stages["simhash_8x"] = time.time() - t0
         extra["simhash_docs_per_sec"] = 8 * n0 / stages["simhash_8x"]
 
-        # ---- IVF recall vs brute force (approximate regimes) ----
-        from quickray.extras.similarity import ivf_recall_at_k
+        # ---- IVF: persisted index (build once, partition-pruned serve) ----
+        from quickray.extras.similarity import (
+            brute_force_topk,
+            ivf_build,
+            ivf_probed_fraction,
+            ivf_query,
+        )
 
         emb_ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
         et = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
@@ -252,12 +259,33 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             et["embedding"][i].as_py()
             for i in (0, 7, 23, 101, min(250, et.num_rows - 1))
         ]
-        extra["ivf_recall_at_10"] = {
-            f"nprobe={npb}/8": round(
-                ivf_recall_at_k(emb_ds, qvecs, 10, nlist=8, nprobe=npb), 3
-            )
-            for npb in (2, 3, 4)
+        ivf_dir = _fresh(os.path.join(SCRATCH, "ivf_idx"))
+        t0 = time.time()
+        ivf_build(emb_ds, ivf_dir, nlist=8, sample_rows=1024, fingerprint="bench")
+        stages["ivf_build"] = time.time() - t0
+        exact_sets = {
+            i: set(np.asarray(brute_force_topk(emb_ds, qv, 10)["vec_id"]).tolist())
+            for i, qv in enumerate(qvecs)
         }
+        recall = {}
+        for npb in (2, 3, 4):
+            lat, hits = [], 0.0
+            for i, qv in enumerate(qvecs):
+                t0 = time.time()
+                got = set(
+                    np.asarray(ivf_query(ivf_dir, qv, 10, nprobe=npb)["vec_id"]).tolist()
+                )
+                lat.append(time.time() - t0)
+                hits += len(got & exact_sets[i]) / max(1, len(exact_sets[i]))
+            recall[f"nprobe={npb}/8"] = round(hits / len(qvecs), 3)
+            if npb == 2:
+                stages["ivf_query_nprobe2"] = statistics.median(lat)
+                extra["ivf_probed_bytes_frac_nprobe2"] = round(
+                    statistics.mean(
+                        ivf_probed_fraction(ivf_dir, qv, 2) for qv in qvecs
+                    ), 3,
+                )
+        extra["ivf_recall_at_10"] = recall
 
         sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
         try:

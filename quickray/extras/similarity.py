@@ -387,46 +387,128 @@ def strided_sample(ds: "rd.Dataset", sample_rows: int) -> np.ndarray:
     return _batch_mat(tbl)[order]
 
 
-def ivf_topk(
+def ivf_build(
     ds: "rd.Dataset",
-    query_vec,
-    k: int = 10,
+    index_dir: str,
     nlist: int = 8,
-    nprobe: int = 2,
     sample_rows: int = 512,
-) -> pa.Table:
-    """IVF-bucketed approximate top-k: rows whose nearest centroid is not
-    among the query's nprobe cells are never scored. Centroids come from
-    a deterministic corpus-wide strided sample (strided_sample); recall
-    vs brute_force_topk is measured in bench.py (ivf_recall_at_k)."""
+    fingerprint: str = "",
+) -> dict:
+    """Build the PERSISTED IVF index once — the build half of the
+    build/serve split (same shape as the BM25 side's build.py segments
+    vs engine.Index):
+
+      1. train: spherical k-means on a deterministic corpus-wide
+         strided sample (one bounded collect);
+      2. assign: one broadcast-centroid map_batches pass stamps every
+         row's nearest cell;
+      3. write: parquet hive-partitioned by cell under cells/ +
+         centroids.npy + meta.json.
+
+    Queries then read ONLY their probed cells' partitions (ivf_query)
+    — ~nprobe/nlist of the corpus bytes — instead of re-training and
+    re-scanning every row per query. A completed build with matching
+    (nlist, sample_rows, fingerprint) is a no-op; anything else is
+    wiped and rebuilt."""
+    import json
+    import os
+    import shutil
+
+    meta_path = os.path.join(index_dir, "meta.json")
+    want = {
+        "nlist": nlist,
+        "sample_rows": sample_rows,
+        "fingerprint": fingerprint,
+    }
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if {k: meta.get(k) for k in want} == want:
+            return meta
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(os.path.join(index_dir, "cells"), exist_ok=True)
+
     sample = strided_sample(ds, sample_rows)
     centroids = _kmeans_lite(sample, nlist)
-    cn = _normalize(centroids)
-    q = _normalize(np.asarray(query_vec, dtype=np.float64))
-    probe = set(np.argsort(-(cn @ q))[:nprobe].tolist())
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
     cent_ref = ray.put(centroids)
 
-    class CellScorer:
-        def __init__(self):
-            self.cn = _normalize(ray.get(cent_ref))
+    def assign_cells(batch: pa.Table) -> pa.Table:
+        cn = _normalize(ray.get(cent_ref))
+        m = _normalize(_batch_mat(batch))
+        cell = np.argmax(m @ cn.T, axis=1).astype(np.int64)
+        return batch.append_column("cell", pa.array(cell))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_batch_mat(batch))
-            assign = np.argmax(m @ self.cn.T, axis=1)
-            from quickray.util import round_sql
+    ds.map_batches(assign_cells, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "cells"), partition_cols=["cell"]
+    )
+    meta = dict(want, n_rows=int(ds.count()))
+    with open(meta_path + ".tmp", "w") as f:  # meta.json last = build marker
+        json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)
+    return meta
 
-            keep = np.isin(assign, list(probe))
-            ids = np.asarray(batch["vec_id"], dtype=np.int64)[keep]
-            sims = round_sql(m[keep] @ q, 4)
-            if len(ids) > k:  # per-batch partial top-k, ties kept
-                kth = np.partition(sims, len(sims) - k)[len(sims) - k]
-                sel = sims >= kth
-                ids, sims = ids[sel], sims[sel]
-            return pa.table(
-                {"vec_id": pa.array(ids), "cosine": pa.array(sims)}
-            )
 
-    partials = ds.map_batches(CellScorer, batch_format="pyarrow", concurrency=2).take_all()
+def _ivf_probe(index_dir: str, query_vec, nprobe: int):
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.asarray(query_vec, dtype=np.float64))
+    probe = set(np.argsort(-(_normalize(centroids) @ q))[:nprobe].tolist())
+    return q, probe
+
+
+def ivf_probed_fraction(index_dir: str, query_vec, nprobe: int) -> float:
+    """Fraction of the index's cell-partition BYTES a query at this
+    nprobe actually reads (the partition-pruning evidence bench
+    reports)."""
+    import glob
+    import os
+
+    _, probe = _ivf_probe(index_dir, query_vec, nprobe)
+    total = probed = 0
+    for f in glob.glob(os.path.join(index_dir, "cells", "**", "*.parquet"),
+                       recursive=True):
+        sz = os.path.getsize(f)
+        total += sz
+        cell = int(f.split("cell=")[1].split(os.sep)[0])
+        if cell in probe:
+            probed += sz
+    return probed / max(1, total)
+
+
+def ivf_query(
+    index_dir: str,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 2,
+    ndigits: int | None = 4,
+) -> pa.Table:
+    """Serve one query from the persisted IVF index: pick the nprobe
+    closest centroids (tiny sidecar read), then scan ONLY those cells'
+    parquet partitions (PathPartitionFilter directory pruning — the
+    unprobed ~ (nlist-nprobe)/nlist of the corpus is never listed, let
+    alone read) with the brute-force scorer."""
+    import os
+
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    q, probe = _ivf_probe(index_dir, query_vec, nprobe)
+    pf = PathPartitionFilter.of(
+        lambda kv, probe=probe: int(kv["cell"]) in probe, style="hive"
+    )
+    cells = rd.read_parquet(
+        os.path.join(index_dir, "cells"),
+        columns=["vec_id", "embedding"],
+        partition_filter=pf,
+    )
+    ref = ray.put(q)
+    partials = cells.map_batches(
+        _BruteScorer,
+        fn_constructor_kwargs={"query_ref": ref, "k": k, "ndigits": ndigits},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).take_all()  # bounded: <= k + ties per probed block
     ids = np.array([r["vec_id"] for r in partials], dtype=np.int64)
     sims = np.array([r["cosine"] for r in partials], dtype=np.float64)
     order = np.lexsort((ids, -sims))[:k]
@@ -435,16 +517,45 @@ def ivf_topk(
     )
 
 
+def ivf_topk(
+    ds: "rd.Dataset",
+    query_vec,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    sample_rows: int = 512,
+    index_dir: str | None = None,
+    fingerprint: str = "",
+) -> pa.Table:
+    """Build-once-then-serve convenience: ensures the persisted IVF
+    index exists at index_dir (a scratch dir if not given) and answers
+    the query from its probed cells. Callers issuing many queries
+    should call ivf_build once and ivf_query per query."""
+    if index_dir is None:
+        import tempfile
+
+        index_dir = tempfile.mkdtemp(prefix="ivf_", dir="/tmp")
+    ivf_build(ds, index_dir, nlist=nlist, sample_rows=sample_rows,
+              fingerprint=fingerprint)
+    return ivf_query(index_dir, query_vec, k=k, nprobe=nprobe)
+
+
 def ivf_recall_at_k(
     ds: "rd.Dataset", query_vecs: list, k: int = 10,
-    nlist: int = 8, nprobe: int = 3,
+    nlist: int = 8, nprobe: int = 3, index_dir: str | None = None,
 ) -> float:
-    """Mean recall@k of ivf_topk vs brute_force_topk over query_vecs."""
+    """Mean recall@k of the persisted-IVF query path vs
+    brute_force_topk over query_vecs (the index is built ONCE)."""
+    if index_dir is None:
+        import tempfile
+
+        index_dir = tempfile.mkdtemp(prefix="ivf_", dir="/tmp")
+    ivf_build(ds, index_dir, nlist=nlist)
     hits = 0
     for qv in query_vecs:
         exact = set(np.asarray(brute_force_topk(ds, qv, k)["vec_id"]).tolist())
         approx = set(
-            np.asarray(ivf_topk(ds, qv, k, nlist=nlist, nprobe=nprobe)["vec_id"]).tolist()
+            np.asarray(ivf_query(index_dir, qv, k, nprobe=nprobe)["vec_id"]).tolist()
         )
         hits += len(exact & approx) / max(1, len(exact))
     return hits / max(1, len(query_vecs))

@@ -429,15 +429,25 @@ def ann_multi_topk_pipeline(sf_dir: str) -> pa.Table:
 
 
 def ivf_topk_pipeline(sf_dir: str) -> pa.Table:
-    """IVF top-k at nprobe=4 of nlist=8 — measured rank-exact vs the
-    brute-force result on the fixture (so the DuckDB cosine-top-k
-    oracle applies); bench.py reports the recall/nprobe curve for the
-    approximate regimes (nprobe<4)."""
+    """IVF top-k served from the PERSISTED index (built once per
+    embeddings file into a /tmp cache, queries read only the probed
+    cell partitions) at nprobe=4 of nlist=8 — measured rank-exact vs
+    the brute-force result on the fixture (so the DuckDB cosine-top-k
+    oracle applies); bench.py reports the recall/nprobe curve and the
+    probed-bytes fraction for the approximate regimes (nprobe<4)."""
     from quickray.extras.similarity import ivf_topk
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    emb = pq.read_table(src)
     qvec = emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py()
-    return ivf_topk(_emb_ds(sf_dir), qvec, k=10, nlist=8, nprobe=4, sample_rows=1024)
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    return ivf_topk(
+        _emb_ds(sf_dir), qvec, k=10, nlist=8, nprobe=4, sample_rows=1024,
+        index_dir=os.path.join(CACHE_ROOT, f"ivf_{tag}"),
+        fingerprint=tag,
+    )
 
 
 def minhash_pairs_pipeline(sf_dir: str):

@@ -117,3 +117,53 @@ def test_top_users_empty_events(tmp_path, ray_session):
     out = top_users_by_value(str(tmp_path))
     assert out.num_rows == 0
     assert out.column_names == ["user_id", "n", "vsum"]
+
+
+def test_ivf_persisted_index(tmp_path, ray_session):
+    """Build/serve split: index built once (meta marker), queries read
+    only probed cell partitions, rebuild with same params is a no-op,
+    recall at full probe equals brute force."""
+    import os
+    import time
+
+    from quickray.extras.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivf_probed_fraction,
+        ivf_query,
+    )
+
+    tbl = _rand_emb_table(400, 12, seed=9, perm=True)
+    ds = rd.from_arrow(tbl)
+    idx = str(tmp_path / "ivf")
+    meta = ivf_build(ds, idx, nlist=8, sample_rows=256, fingerprint="t1")
+    assert meta["n_rows"] == 400
+    assert os.path.exists(os.path.join(idx, "centroids.npy"))
+    # every row landed in exactly one cell partition
+    import pyarrow.dataset as pads
+
+    cells = pads.dataset(os.path.join(idx, "cells"), format="parquet",
+                         partitioning="hive")
+    assert cells.count_rows() == 400
+    # rebuild with identical params: no-op (meta returned, no re-write)
+    t0 = time.time()
+    meta2 = ivf_build(ds, idx, nlist=8, sample_rows=256, fingerprint="t1")
+    assert meta2 == meta and time.time() - t0 < 1.0
+    # partition pruning is real: a low-nprobe query reads < half the bytes
+    qv = _batch_mat(tbl)[3]
+    frac = ivf_probed_fraction(idx, qv, nprobe=2)
+    assert 0 < frac < 0.75
+    # full probe == exact brute force (rank-identical)
+    exact = brute_force_topk(ds, qv, k=10)
+    full = ivf_query(idx, qv, k=10, nprobe=8)
+    assert np.array_equal(
+        np.asarray(full["vec_id"]), np.asarray(exact["vec_id"])
+    )
+    # approximate probe returns a subset-quality result: k rows, sorted
+    approx = ivf_query(idx, qv, k=10, nprobe=2)
+    assert approx.num_rows == 10
+    sc = np.asarray(approx["cosine"])
+    assert (np.diff(sc) <= 0).all()
+    # changed fingerprint invalidates and rebuilds
+    meta3 = ivf_build(ds, idx, nlist=8, sample_rows=256, fingerprint="t2")
+    assert meta3["fingerprint"] == "t2"
