@@ -123,7 +123,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
         # ---- query latency: reference set, index loaded once ----
         eng = LocalEngine(Index(out, preload_top_df=64))
-        queries = make_query_set(eng.index.df_map(), langs=P.DOC_LANGS)
+        queries = make_query_set(eng.index.df_table(), langs=P.DOC_LANGS)
         for q in queries[:4]:
             eng.search(q)  # warm the posting cache
         lat = []

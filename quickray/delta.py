@@ -111,24 +111,27 @@ class DeltaEngine:
     ):
         self._main = [Index(d) for d in main_dirs]
         self._delta = Index(delta_dir) if delta_dir else None
-        tomb_keys = set(deleted_keys)
+        # tombstone keys as BYTES (matching the fixed-width key probes);
+        # bounded: deletions + the delta corpus, small by design
+        tomb_keys = {
+            k.encode() if isinstance(k, str) else bytes(k)
+            for k in deleted_keys
+        }
         if self._delta is not None:
             tomb_keys |= set(self._delta.keys_by_id().tolist())
         masked: list[_MaskedIndex] = []
         n_tomb = 0
         tomb_tokens = 0
         for ix in self._main:
-            keys = ix.keys_by_id()
+            keys = ix.keys_by_id()  # dense 'S{w}' array — no PyObjects
             if tomb_keys:
-                import pyarrow as pa
-                import pyarrow.compute as pc
-
-                hit = pc.is_in(
-                    pa.array(keys.tolist(), pa.string()),
-                    value_set=pa.array(sorted(tomb_keys), pa.string()),
-                )
+                w = keys.dtype.itemsize
+                # a tomb key longer than this partition's key width
+                # cannot match any of its keys
+                cand = sorted(k for k in tomb_keys if len(k) <= w)
+                tomb_arr = np.array(cand, dtype=f"S{w}")
                 tomb_ids = np.flatnonzero(
-                    np.asarray(hit, dtype=bool)
+                    np.isin(keys, tomb_arr)
                 ).astype(np.int64)
             else:
                 tomb_ids = np.empty(0, np.int64)
@@ -160,26 +163,36 @@ class DeltaEngine:
         """Top-k (keys, scores) over the live corpus. Every global
         top-k doc survives its partition's top-k (the global
         (-score, key) order restricted to a partition preserves
-        relative order), so the merge of per-partition top-k is exact."""
+        relative order), so the merge of per-partition top-k is exact.
+        Keys stay fixed-width bytes internally (\\x00-padded order ==
+        string order) and decode to str only for the returned top-k."""
         keys, scores = [], []
         for eng, part_keys in zip(self.engines, self._part_keys):
             ids, sc = eng.search(q)
             keys.append(part_keys[ids])
             scores.append(sc)
-        k = np.concatenate(keys)
+        # widths differ across partitions: promote to the widest so
+        # concatenate doesn't truncate
+        w = max(a.dtype.itemsize for a in keys)
+        k = np.concatenate([a.astype(f"S{w}") for a in keys])
         s = np.concatenate(scores)
-        # (-score, key) — object-dtype keys, so argsort via sorted()
-        # over the bounded merge set (<= k per partition)
+        # bounded merge set (<= k per partition); numpy indexing strips
+        # the \x00 padding, so the byte compare is the string compare
         order = sorted(range(len(k)), key=lambda i: (-s[i], k[i]))[: q.k]
-        return k[order], s[order]
+        out = np.array([k[i].decode() for i in order], dtype=object)
+        return out, s[order]
 
     def candidates(self, q: Query) -> np.ndarray:
-        """Boolean evaluation over the live corpus -> sorted key array."""
+        """Boolean evaluation over the live corpus -> sorted key array
+        (decoded at this API boundary — the result set the caller
+        asked for)."""
         out = [
             part_keys[eng.candidates(q)]
             for eng, part_keys in zip(self.engines, self._part_keys)
         ]
-        return np.sort(np.concatenate(out))
+        w = max(a.dtype.itemsize for a in out)
+        allk = np.sort(np.concatenate([a.astype(f"S{w}") for a in out]))
+        return np.array([x.decode() for x in allk], dtype=object)
 
     def count(self, q: Query) -> int:
         """Live per-query result count, summed across partitions. Merge

@@ -23,6 +23,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from quickray.codec import decode_postings, varint_decode
@@ -61,7 +62,17 @@ class Index:
         self._seg = pq.read_table(
             os.path.join(out_dir, "segments"), filters=filters
         )
-        self._terms = {t: i for i, t in enumerate(self._seg["term"].to_pylist())}
+        # term lookup = binary search over a sorted VIEW of the segment
+        # term column (one int64 permutation array + O(log V) bounded
+        # .as_py() per probe) — never a vocabulary-sized Python dict
+        # per engine (a 10^8-term vocab would be GBs of PyObjects)
+        tcol = self._seg["term"]
+        self._term_col = (
+            tcol.combine_chunks() if isinstance(tcol, pa.ChunkedArray) else tcol
+        )
+        self._tsort = np.asarray(
+            pc.sort_indices(self._term_col), dtype=np.int64
+        )
         from collections import OrderedDict
 
         # decoded-posting LRU (recency eviction — a fill-once cap would
@@ -75,11 +86,26 @@ class Index:
             for i in np.argsort(-df)[:preload_top_df]:
                 self.posting(self._seg["term"][int(i)].as_py())
 
+    def _term_index(self, term: str) -> int | None:
+        """Segment row index of `term` via binary search on the sorted
+        view (lexicographic Arrow string order)."""
+        col, order = self._term_col, self._tsort
+        lo, hi = 0, len(order)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if col[order[mid]].as_py() < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < len(order) and col[order[lo]].as_py() == term:
+            return int(order[lo])
+        return None
+
     def posting(self, term: str) -> Posting | None:
         if term in self._cache:
             self._cache.move_to_end(term)
             return self._cache[term]
-        i = self._terms.get(term)
+        i = self._term_index(term)
         if i is None:
             p = None
         else:
@@ -99,7 +125,7 @@ class Index:
 
     @property
     def vocab_size(self) -> int:
-        return len(self._terms)
+        return self._seg.num_rows
 
     def doc_lens(self, doc_ids: np.ndarray) -> np.ndarray:
         """doc_len lookup via the forward index (docmeta), loaded
@@ -138,35 +164,66 @@ class Index:
                     arr = np.zeros(self.n_docs, dtype=np.int64)
                     arr[order] = np.asarray(vals)
                 else:
-                    arr = np.empty(self.n_docs, dtype=object)
-                    arr[order] = np.asarray(vals.to_pylist(), dtype=object)
+                    # string columns live as fixed-width bytes ('S{w}',
+                    # \x00-padded, order-preserving) — one flat numpy
+                    # buffer, never n_docs Python string objects per
+                    # worker (the r02 scale finding); hydrate() decodes
+                    # only the bounded top-k gather
+                    from quickray.tokenize import _fixed_bytes
+
+                    v = (
+                        vals.combine_chunks()
+                        if isinstance(vals, pa.ChunkedArray)
+                        else vals
+                    )
+                    width = max(
+                        1, int(pc.max(pc.binary_length(v)).as_py() or 1)
+                    )
+                    arr = np.zeros(self.n_docs, dtype=f"S{width}")
+                    arr[order] = _fixed_bytes(v, width)
                 cache[c] = arr
         return {c: cache[c] for c in cols}
 
     def keys_by_id(self) -> np.ndarray:
-        """Dense doc_id -> 'repo\\x01path' key array (object dtype)."""
+        """Dense doc_id -> 'repo\\x01path' key array as fixed-width
+        bytes ('S{w}', \\x00-padded so padded order == string order) —
+        probe/tombstone-match with numpy byte compares; decode only
+        bounded final results."""
         cache = getattr(self, "_keys_by_id", None)
         if cache is None:
-            dm = self.docmeta_arrays(("repo", "path"))
-            cache = np.array(
-                [f"{r}\x01{p}" for r, p in zip(dm["repo"], dm["path"])],
-                dtype=object,
+            from quickray.tokenize import _fixed_bytes
+
+            dm = pq.read_table(
+                os.path.join(self.out_dir, "docmeta"),
+                columns=["doc_id", "repo", "path"],
             )
+            keys = pc.binary_join_element_wise(
+                dm["repo"].combine_chunks(), dm["path"].combine_chunks(),
+                "\x01",
+            )
+            width = max(1, int(pc.max(pc.binary_length(keys)).as_py() or 1))
+            cache = np.zeros(self.n_docs, dtype=f"S{width}")
+            cache[np.asarray(dm["doc_id"])] = _fixed_bytes(keys, width)
             self._keys_by_id = cache
         return cache
 
     def hydrate(self, doc_ids: np.ndarray, cols: tuple[str, ...]) -> dict[str, np.ndarray]:
-        """Point-lookup metadata for doc_ids from the warm dense arrays."""
+        """Point-lookup metadata for doc_ids from the warm dense arrays;
+        fixed-width byte columns decode to str here (bounded gather)."""
         arrs = self.docmeta_arrays(cols)
         ids = np.asarray(doc_ids, dtype=np.int64)
-        return {c: arrs[c][ids] for c in cols}
+        out = {}
+        for c in cols:
+            got = arrs[c][ids]
+            if got.dtype.kind == "S":
+                got = np.array([x.decode() for x in got], dtype=object)
+            out[c] = got
+        return out
 
-    def df_map(self) -> dict[str, int]:
-        """term -> df straight from the segment column (no posting
-        decode — df is materialized at merge time)."""
-        return dict(
-            zip(self._seg["term"].to_pylist(), self._seg["df"].to_pylist())
-        )
+    def df_table(self) -> pa.Table:
+        """(term, df) straight from the segment columns — stays Arrow
+        (no per-term Python objects; replaces the old df_map() dict)."""
+        return self._seg.select(["term", "df"])
 
 
 def _accumulate_topk(
@@ -303,6 +360,29 @@ class LocalEngine:
         )
 
 
+class _SummedDf:
+    """Lazy corpus-global document frequency over partition indexes:
+    per queried term, sum each partition's stored segment df (one
+    O(log V) probe per partition). Quacks like the dict LocalEngine's
+    global-stats override expects; the cache is bounded by the number
+    of DISTINCT queried terms, not the vocabulary."""
+
+    def __init__(self, indexes: list["Index"]):
+        self._ixs = indexes
+        self._cache: dict[str, int] = {}
+
+    def get(self, term: str, default: int = 0) -> int:
+        df = self._cache.get(term)
+        if df is None:
+            df = 0
+            for ix in self._ixs:
+                i = ix._term_index(term)
+                if i is not None:
+                    df += int(ix._seg["df"][i].as_py())
+            self._cache[term] = df
+        return df if df else default
+
+
 class PartitionedEngine:
     """Doc-sharded distributed serving — the reference's actual model
     (farmhash doc-sharding + Sentinel broadcast/merge, sentinel.go:
@@ -326,14 +406,14 @@ class PartitionedEngine:
         self.bases = np.concatenate(([0], np.cumsum(counts[:-1]))).astype(np.int64)
         n_docs = int(sum(counts))
         total_tokens = int(sum(ix.stats["total_tokens"] for ix in idxs))
-        df: dict[str, int] = {}
-        for ix in idxs:
-            for t, d in ix.df_map().items():
-                df[t] = df.get(t, 0) + d
         g = {
             "n_docs": n_docs,
             "avgdl": total_tokens / max(1, n_docs),
-            "df": df,
+            # corpus-wide df resolved LAZILY per queried term (probe +
+            # sum over partitions, cached) — never a merged whole-
+            # vocabulary Python dict on the construction path (r02
+            # scale finding: 10^8-10^9 terms would be driver GBs)
+            "df": _SummedDf(idxs),
         }
         self.engines = [LocalEngine(ix, global_stats=g) for ix in idxs]
         self.n_docs = n_docs
@@ -403,7 +483,12 @@ class QueryEngineActor:
     def _contrib_rows(self, batch: pa.Table) -> pa.Table:
         from quickray.query import flat_or_terms
 
-        qids, docs, scores = [], [], []
+        # posting-sized outputs stay numpy until the final Arrow wrap
+        # (a .tolist() here made one PyObject per posting entry)
+        seg_qids: list[str] = []
+        seg_lens: list[int] = []
+        doc_parts: list[np.ndarray] = []
+        score_parts: list[np.ndarray] = []
         for qjson in batch["query"].to_pylist():
             q = query_from_json(json.loads(qjson))
             terms = flat_or_terms(q.tree)
@@ -419,14 +504,26 @@ class QueryEngineActor:
                     p.tfs[m], p.dls[m], p.df,
                     self.engine.index.n_docs, self.engine.index.avgdl,
                 )
-                qids.extend([q.id] * len(d))
-                docs.extend(d.tolist())
-                scores.extend(c.tolist())
+                seg_qids.append(q.id)
+                seg_lens.append(len(d))
+                doc_parts.append(d)
+                score_parts.append(c)
+        qid_arr = np.repeat(
+            np.array(seg_qids, dtype=object), np.array(seg_lens, dtype=np.int64)
+        ) if seg_qids else np.empty(0, dtype=object)
         return pa.table(
             {
-                "query_id": pa.array(qids, pa.string()),
-                "doc_id": pa.array(docs, pa.int64()),
-                "partial": pa.array(scores, pa.float64()),
+                "query_id": pa.array(qid_arr, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(doc_parts)
+                    if doc_parts else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                "partial": pa.array(
+                    np.concatenate(score_parts)
+                    if score_parts else np.empty(0, np.float64),
+                    pa.float64(),
+                ),
             }
         )
 

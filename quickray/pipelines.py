@@ -574,7 +574,7 @@ def sharded_reference_queries(sf_dir: str, n_groups: int = 4):
     eng = docs_engine(sf_dir)
     num_shards = int(eng.index.stats.get("num_shards", 64))
     queries = [
-        q for q in make_query_set(eng.index.df_map(), langs=DOC_LANGS)
+        q for q in make_query_set(eng.index.df_table(), langs=DOC_LANGS)
         if flat_or_terms(q.tree) is not None
     ]
     k_of = {q.id: q.k for q in queries}
@@ -643,7 +643,7 @@ def reference_query_results(sf_dir: str, rounded: bool = True):
     from quickray.queryset import make_query_set
 
     eng = docs_engine(sf_dir)
-    queries = make_query_set(eng.index.df_map(), langs=DOC_LANGS)
+    queries = make_query_set(eng.index.df_table(), langs=DOC_LANGS)
     qds = rd.from_items([{"query": _json.dumps(q.to_json())} for q in queries])
     return qds.map_batches(
         QueryEngineActor,

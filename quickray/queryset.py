@@ -14,7 +14,42 @@ from quickray.query import And, Or, Query, Term
 ABSENT = "zz_absent_term_zz"
 
 
-def _spectrum(df: dict[str, int]) -> dict[str, list[str]]:
+def _spectrum(df) -> dict[str, list[str]]:
+    """Term pools across the df spectrum. Accepts a term->df dict (the
+    oracle path) or a (term, df) Arrow table (engine.Index.df_table —
+    sorted with Arrow kernels so no whole-vocabulary Python dict is
+    ever materialized; only the bounded pools become Python strings).
+    Both paths order by (-df, term), so identical df contents give
+    identical pools."""
+    import pyarrow as pa
+
+    if isinstance(df, pa.Table):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        n = df.num_rows
+        order = np.asarray(
+            pc.sort_indices(
+                df,
+                sort_keys=[("df", "descending"), ("term", "ascending")],
+            ),
+            dtype=np.int64,
+        )
+        terms = df["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        dfs = np.asarray(df["df"], dtype=np.int64)[order]
+
+        def take(posns) -> list[str]:  # bounded pool materialization
+            return [terms[int(order[int(p)])].as_py() for p in posns]
+
+        hot = take(range(min(n, max(3, n // 100))))
+        mid = take(range(n // 3, min(n, n // 3 + max(6, n // 50))))
+        rare_pos = np.flatnonzero(dfs <= 2)[:12]
+        rare = (
+            take(rare_pos) if len(rare_pos) else take(range(max(0, n - 12), n))
+        )
+        return {"hot": hot, "mid": mid, "rare": rare}
     by_hot = sorted(df, key=lambda t: (-df[t], t))
     n = len(by_hot)
     hot = by_hot[: max(3, n // 100)]
@@ -23,7 +58,8 @@ def _spectrum(df: dict[str, int]) -> dict[str, list[str]]:
     return {"hot": hot, "mid": mid, "rare": rare}
 
 
-def make_query_set(df: dict[str, int], langs: list[str] | None = None) -> list[Query]:
+def make_query_set(df, langs: list[str] | None = None) -> list[Query]:
+    """df: term->df dict OR (term, df) Arrow table (see _spectrum)."""
     s = _spectrum(df)
     hot, mid, rare = s["hot"], s["mid"], s["rare"]
 

@@ -53,11 +53,11 @@ def _rebuild_search(tbl: pa.Table, out: str, queries) -> dict:
     build_index(tbl, out, num_salts=1, num_shards=8, num_parts=8)
     ix = Index(out)
     eng = LocalEngine(ix)
-    keys = ix.keys_by_id()
+    keys = ix.keys_by_id()  # fixed-width bytes; decode the bounded top-k
     res = {}
     for q in queries:
         ids, sc = eng.search(q)
-        res[q.id] = (keys[ids].tolist(), sc)
+        res[q.id] = ([k.decode() for k in keys[ids]], sc)
     return res
 
 

@@ -62,7 +62,7 @@ def test_sharded_scatter_gather_matches_local(built_index, ray_session):
 
     eng = LocalEngine(Index(built_index))
     queries = [
-        q for q in make_query_set(eng.index.df_map())
+        q for q in make_query_set(eng.index.df_table())
         if flat_or_terms(q.tree) is not None
     ][:12]
     qds = rd.from_items([{"query": _json.dumps(q.to_json())} for q in queries])
