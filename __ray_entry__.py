@@ -379,7 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (tests/test_build_e2e.py, tests/test_recall_sharded.py)
         "reference_queries": P.reference_query_results,
         "sharded_queries": P.sharded_reference_queries,
-        # rows-only remainder: the honest multimodal decode stub
+        # real multimodal decode (pure-numpy BMP/PPM/WAV/Y4M parsers in
+        # an actor-pool stage) — oracle = pre-encode ground truth
         "media_features": P.media_features_pipeline,
     }
 
@@ -397,6 +398,15 @@ def oracle_sql() -> dict[str, str]:
         # flagship: the reference query set, one SQL arm per query
         "reference_queries": _ref_queries_sql(flat_or_only=False),
         "sharded_queries": _ref_queries_sql(flat_or_only=True),
+        # multimodal decode: the pipeline parses real BMP/PPM/WAV/Y4M
+        # container bytes; the oracle reads the ground truth computed
+        # from the raw sample arrays BEFORE encoding (pipelines.
+        # ensure_media_truth) — reproducing (n_values, value_sum)
+        # requires a correct parse of every payload
+        "media_features": f"""
+SELECT media_id, kind, n_values, value_sum
+FROM read_parquet('{__import__("quickray.pipelines", fromlist=["p"]).ensure_media_truth(_oracle_sf_dir())}')
+""",
         "term_df": f"""
 WITH {_TOK}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf

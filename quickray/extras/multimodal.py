@@ -1,14 +1,23 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+REAL pure-numpy decode kernels for the uncompressed container formats
+parseable without image/audio libraries:
 
-The decode kernels themselves are STUBBED (no image/audio libraries in
-this environment — clearly marked below); everything Ray-side is real
-and tested: schema, actor-pool stage shape, small-batch sizing for
-large binary rows, fixed-size feature output layout.
+- BMP  (24-bit uncompressed BI_RGB, bottom-up, BITMAPINFOHEADER)
+- PPM  (binary P6, maxval 255)
+- WAV  (RIFF PCM 16-bit)
+- Y4M  (YUV4MPEG2, Cmono — per-frame raw luma planes; the video
+        frame-sample path)
+
+Compressed codecs (JPEG/PNG/MP3/H.264) genuinely need PIL/ffmpeg-class
+libraries absent from this environment and raise NotImplementedError
+with that reason — the decode DISPATCH, schema, actor-pool stage shape,
+small-batch sizing and fixed-size feature layout are all real and
+oracle-checked: synthetic_media writes a ground-truth table computed
+from the raw sample arrays BEFORE encoding, and the pipeline must parse
+the container bytes to reproduce (n_values, value_sum) exactly.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -28,39 +37,235 @@ MEDIA_SCHEMA = pa.schema(
 FEATURE_DIM = 16
 
 
+# ------------------------------------------------------------- containers
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP (BI_RGB). Rows are
+    stored bottom-up, BGR, padded to 4-byte boundaries."""
+    h, w, _ = pixels.shape
+    row = w * 3
+    pad = (-row) % 4
+    img_size = (row + pad) * h
+    header = b"BM" + (54 + img_size).to_bytes(4, "little") + b"\x00" * 4
+    header += (54).to_bytes(4, "little")
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + img_size.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    bgr = pixels[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    rows = np.zeros((h, row + pad), np.uint8)
+    rows[:, :row] = bgr.reshape(h, row)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(b: bytes) -> tuple[np.ndarray, dict]:
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP is decodable without codec libs "
+            f"(got bpp={bpp}, compression={comp})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(b, np.uint8, count=h * stride, offset=off).reshape(
+        h, stride
+    )
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    rgb = (bgr if top_down else bgr[::-1])[:, :, ::-1]
+    return rgb.reshape(-1).astype(np.int64), {"width": w, "height": h}
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(b: bytes) -> tuple[np.ndarray, dict]:
+    if b[:2] != b"P6":
+        raise ValueError("not a binary PPM payload")
+    # header: magic, whitespace-separated w h maxval, ONE whitespace byte
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment line
+            pos = b.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    vals = np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos)
+    return vals.astype(np.int64), {"width": w, "height": h}
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    data = samples.astype("<i2").tobytes()
+    n = len(data)
+    hdr = (
+        b"RIFF" + (36 + n).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")   # PCM
+        + (1).to_bytes(2, "little")   # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + b"data" + n.to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, dict]:
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(b):  # chunk walk
+        cid = b[pos : pos + 4]
+        sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            fmt = b[pos + 8 : pos + 8 + sz]
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt")
+            audio_fmt = int.from_bytes(fmt[0:2], "little")
+            channels = int.from_bytes(fmt[2:4], "little")
+            rate = int.from_bytes(fmt[4:8], "little")
+            bits = int.from_bytes(fmt[14:16], "little")
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only 16-bit PCM WAV is decodable without codec libs "
+                    f"(got fmt={audio_fmt}, bits={bits})"
+                )
+            vals = np.frombuffer(b, "<i2", count=sz // 2, offset=pos + 8)
+            return vals.astype(np.int64), {
+                "rate": rate, "channels": channels,
+            }
+        pos += 8 + sz + (sz & 1)
+    raise ValueError("WAV without data chunk")
+
+
+def encode_y4m(frames: np.ndarray) -> bytes:
+    """(f, h, w) uint8 luma frames -> YUV4MPEG2 Cmono stream."""
+    f, h, w = frames.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\n".encode()]
+    for i in range(f):
+        out.append(b"FRAME\n")
+        out.append(frames[i].tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(b: bytes) -> tuple[np.ndarray, dict]:
+    if not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = b.index(b"\n")
+    params = b[9:nl].split()
+    w = h = None
+    colorspace = "C420"
+    for p in params:
+        if p[:1] == b"W":
+            w = int(p[1:])
+        elif p[:1] == b"H":
+            h = int(p[1:])
+        elif p[:1] == b"C":
+            colorspace = p.decode()
+    if colorspace != "Cmono":
+        raise NotImplementedError(
+            "only Cmono Y4M (raw luma planes) decodable without codec libs"
+        )
+    if w is None or h is None:
+        raise ValueError("Y4M missing W/H")
+    pos = nl + 1
+    frames = []
+    while pos < len(b):
+        fnl = b.index(b"\n", pos)
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError("Y4M frame marker missing")
+        pos = fnl + 1
+        frames.append(np.frombuffer(b, np.uint8, count=w * h, offset=pos))
+        pos += w * h
+    vals = (
+        np.concatenate(frames) if frames else np.empty(0, np.uint8)
+    )
+    return vals.astype(np.int64), {
+        "width": w, "height": h, "n_frames": len(frames),
+    }
+
+
+_MAGIC_DECODERS = (
+    (b"BM", decode_bmp),
+    (b"P6", decode_ppm),
+    (b"RIFF", decode_wav),
+    (b"YUV4MPEG2", decode_y4m),
+)
+
+
+def decode_payload(payload: bytes) -> tuple[np.ndarray, dict]:
+    """Dispatch on container magic -> (flat int64 sample values, meta).
+    Unknown/compressed containers raise NotImplementedError (JPEG, PNG,
+    MP3, H.264 ... need codec libraries absent from this environment)."""
+    for magic, dec in _MAGIC_DECODERS:
+        if payload[: len(magic)] == magic:
+            return dec(payload)
+    raise NotImplementedError(
+        "unrecognized media container (compressed codecs need PIL/ffmpeg "
+        "— not in this env); supported: BMP/PPM/WAV(PCM16)/Y4M(Cmono)"
+    )
+
+
+def pooled_features(values: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Fixed-size pooled feature: mean of `dim` equal contiguous chunks
+    (deterministic; the batched-inference stand-in)."""
+    if len(values) == 0:
+        return np.zeros(dim, np.float64)
+    return np.array(
+        [c.mean() if len(c) else 0.0
+         for c in np.array_split(values.astype(np.float64), dim)]
+    )
+
+
 class MediaFeaturizer:
-    """Actor-pool stage: binary payload -> fixed-size feature vector.
+    """Actor-pool stage: binary payload -> decode stats + fixed-size
+    feature vector. In production __init__ loads the decoder/model once
+    per actor; here the decoders are the pure-numpy container parsers
+    above. The (n_values, value_sum) columns are integer-exact and
+    oracle-checked against synthetic_media's pre-encode ground truth —
+    reproducing them REQUIRES actually parsing the payload bytes."""
 
-    In production __init__ loads the decoder/model once per actor and
-    __call__ runs batched inference; here the decode is a deterministic
-    fake (sha256-seeded) so the distributed plumbing stays testable.
-    Use strict=True to get the honest NotImplementedError instead.
-    """
-
-    def __init__(self, strict: bool = False):
+    def __init__(self, strict: bool = True):
+        # codec-init / model-load happens here, once per actor
         self.strict = strict
-        # model-load / codec-init would happen here, once per actor
-
-    def _decode(self, payload: bytes) -> np.ndarray:
-        if self.strict:
-            raise NotImplementedError(
-                "real image/audio decode needs PIL/torchaudio — not in this env"
-            )
-        # STUB: deterministic pseudo-pixels derived from the payload hash
-        seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
-        rng = np.random.default_rng(seed)
-        return rng.random(256)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
+        n_values, value_sum, feats = [], [], []
         for payload in batch["payload"].to_pylist():
-            px = self._decode(payload)
-            # "feature extraction": fixed-size pooled projection
-            feats.append(px.reshape(FEATURE_DIM, -1).mean(axis=1).tolist())
+            vals, _meta = decode_payload(payload)
+            n_values.append(len(vals))
+            value_sum.append(int(vals.sum()))
+            feats.append(pooled_features(vals).tolist())
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "kind": batch["kind"],
+                "n_values": pa.array(n_values, pa.int64()),
+                "value_sum": pa.array(value_sum, pa.int64()),
                 "features": pa.array(feats, pa.list_(pa.float64(), FEATURE_DIM)),
             }
         )
@@ -78,18 +283,61 @@ def featurize(ds: "rd.Dataset", concurrency: int = 2, batch_size: int = 64) -> "
     )
 
 
-def synthetic_media(n: int, seed: int = 5) -> pa.Table:
-    """Deterministic fake media table for tests/demos."""
+def synthetic_media(n: int, seed: int = 5) -> tuple[pa.Table, pa.Table]:
+    """Deterministic media table in REAL containers + the ground-truth
+    table (media_id, kind, n_values, value_sum) computed from the raw
+    sample arrays BEFORE encoding — the decode oracle. Kinds cycle
+    BMP-image, PPM-image, WAV-audio, Y4M-video."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=int(rng.integers(64, 512))).astype(np.uint8).tobytes() for _ in range(n)]
-    kinds = [("image", "audio", "video")[i % 3] for i in range(n)]
-    return pa.table(
+    payloads, kinds, widths, heights = [], [], [], []
+    t_nv, t_sum = [], []
+    for i in range(n):
+        variant = i % 4
+        if variant in (0, 1):
+            h = int(rng.integers(4, 17))
+            w = int(rng.integers(4, 17))
+            px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+            payloads.append(encode_bmp(px) if variant == 0 else encode_ppm(px))
+            kinds.append("image")
+            widths.append(w)
+            heights.append(h)
+            raw = px.reshape(-1).astype(np.int64)
+        elif variant == 2:
+            ns = int(rng.integers(64, 513))
+            samples = rng.integers(-(1 << 15), 1 << 15, size=ns).astype(np.int16)
+            payloads.append(encode_wav(samples))
+            kinds.append("audio")
+            widths.append(ns)
+            heights.append(1)
+            raw = samples.astype(np.int64)
+        else:
+            f = int(rng.integers(2, 5))
+            h = int(rng.integers(4, 13))
+            w = int(rng.integers(4, 13))
+            frames = rng.integers(0, 256, size=(f, h, w)).astype(np.uint8)
+            payloads.append(encode_y4m(frames))
+            kinds.append("video")
+            widths.append(w)
+            heights.append(h)
+            raw = frames.reshape(-1).astype(np.int64)
+        t_nv.append(len(raw))
+        t_sum.append(int(raw.sum()))
+    media = pa.table(
         {
             "media_id": pa.array(range(n), pa.int64()),
             "kind": pa.array(kinds, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "width": pa.array([64] * n, pa.int32()),
-            "height": pa.array([64] * n, pa.int32()),
+            "width": pa.array(np.array(widths, np.int32)),
+            "height": pa.array(np.array(heights, np.int32)),
         },
         schema=MEDIA_SCHEMA,
     )
+    truth = pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "n_values": pa.array(t_nv, pa.int64()),
+            "value_sum": pa.array(t_sum, pa.int64()),
+        }
+    )
+    return media, truth

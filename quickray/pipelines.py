@@ -487,11 +487,40 @@ def langid_pipeline(sf_dir: str):
     )
 
 
+def _media_n(sf_dir: str) -> int:
+    return max(32, min(256, _count_docs(sf_dir) // 4))
+
+
+def ensure_media_truth(sf_dir: str) -> str:
+    """Write (idempotently) the decode ground truth for the synthetic
+    media fixture: (media_id, kind, n_values, value_sum) computed from
+    the raw sample arrays BEFORE container encoding. The oracle SQL
+    reads this parquet; the pipeline must PARSE the BMP/PPM/WAV/Y4M
+    payload bytes to reproduce it."""
+    from quickray.extras.multimodal import synthetic_media
+
+    n = _media_n(sf_dir)
+    path = os.path.join(CACHE_ROOT, f"media_truth_{n}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(CACHE_ROOT, exist_ok=True)
+        _, truth = synthetic_media(n)
+        pq.write_table(truth, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
 def media_features_pipeline(sf_dir: str):
+    """Real multimodal decode: deterministic BMP/PPM/WAV/Y4M payloads
+    parsed by the pure-numpy container kernels inside an actor-pool
+    map_batches stage; (n_values, value_sum) are integer-exact vs the
+    pre-encode ground truth (ensure_media_truth). The 16-dim pooled
+    feature column is computed in the same pass (dropped here only
+    because list columns can't be SQL-hash-compared)."""
     from quickray.extras.multimodal import featurize, synthetic_media
 
-    n = max(32, min(256, _count_docs(sf_dir) // 4))
-    return featurize(rd.from_arrow(synthetic_media(n)))
+    ensure_media_truth(sf_dir)
+    media, _ = synthetic_media(_media_n(sf_dir))
+    return featurize(rd.from_arrow(media)).drop_columns(["features"])
 
 
 def events_window_pipeline(sf_dir: str):

@@ -1,0 +1,84 @@
+"""Multimodal decode kernels: pure-numpy container parsers round-trip
+exactly, dispatch rejects compressed codecs with a clear reason, and
+the actor-pool featurize stage reproduces the pre-encode ground truth
+(the decode oracle's property)."""
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from quickray.extras.multimodal import (
+    FEATURE_DIM,
+    decode_bmp,
+    decode_payload,
+    decode_ppm,
+    decode_wav,
+    decode_y4m,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    encode_y4m,
+    featurize,
+    pooled_features,
+    synthetic_media,
+)
+
+
+def test_bmp_roundtrip_padding():
+    rng = np.random.default_rng(1)
+    for w in (3, 4, 5, 6):  # cover every 4-byte row-padding case
+        px = rng.integers(0, 256, size=(4, w, 3)).astype(np.uint8)
+        vals, meta = decode_bmp(encode_bmp(px))
+        assert meta == {"width": w, "height": 4}
+        assert (vals == px.reshape(-1)).all()
+
+
+def test_ppm_roundtrip_and_comment():
+    px = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    vals, meta = decode_ppm(decode_and_comment_payload(px))
+    assert meta == {"width": 4, "height": 3}
+    assert (vals == px.reshape(-1)).all()
+
+
+def decode_and_comment_payload(px):
+    # a P6 header with a comment line — parsers must skip it
+    h, w, _ = px.shape
+    return f"P6\n# synthetic\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def test_wav_roundtrip_negative_samples():
+    s = np.array([-32768, -1, 0, 1, 32767] * 11, dtype=np.int16)
+    vals, meta = decode_wav(encode_wav(s, rate=16000))
+    assert meta["rate"] == 16000
+    assert (vals == s).all()
+    assert vals.sum() == int(s.astype(np.int64).sum())
+
+
+def test_y4m_roundtrip():
+    fr = np.random.default_rng(2).integers(0, 256, (4, 5, 6)).astype(np.uint8)
+    vals, meta = decode_y4m(encode_y4m(fr))
+    assert meta == {"width": 6, "height": 5, "n_frames": 4}
+    assert (vals == fr.reshape(-1)).all()
+
+
+def test_unknown_and_compressed_rejected():
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_payload(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError, match="BI_RGB"):
+        # 32-bit BMP header
+        b = bytearray(encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+        b[28] = 32
+        decode_bmp(bytes(b))
+
+
+def test_featurize_matches_ground_truth(ray_session):
+    media, truth = synthetic_media(24, seed=11)
+    out = featurize(rd.from_arrow(media)).to_pandas().sort_values("media_id")
+    assert out["n_values"].tolist() == truth["n_values"].to_pylist()
+    assert out["value_sum"].tolist() == truth["value_sum"].to_pylist()
+    # fixed-size pooled features, deterministic
+    f0 = np.array(out["features"].iloc[0])
+    assert f0.shape == (FEATURE_DIM,)
+    vals, _ = decode_payload(media["payload"][0].as_py())
+    assert np.allclose(f0, pooled_features(vals))
