@@ -6,14 +6,15 @@ Phases (each a checkpointed Dataset pipeline, see checkpoint.Manifest):
             (docids.rank_keys) -> small parquet artifact; broadcast via
             ray.put so every later stage stamps doc_id with a local C++
             hash probe. Content never shuffles for id assignment.
-  docbase   one content pass: doc_id + sha256(content) + doc_len ->
-            (doc_id, repo, path, commit, lang, sha256, doc_len) table.
-            The corpus itself is NOT rewritten (no storage x2, no
-            content re-read for later metadata phases).
-  stats     n_docs / total_tokens / avgdl from docbase columns (tiny
-            columnar agg) + hot-term detection over a deterministic row
-            sample of the corpus (the hot set only steers level-1
-            partitioning, never output).
+  docbase   THE one content pass before postings: doc_id +
+            sha256(content) + doc_len (kind=0 rows) AND sampled
+            per-batch partial dfs from the same tokenization (kind=1
+            rows) -> one combined table. The corpus itself is NOT
+            rewritten, and no later metadata phase reads content.
+  stats     n_docs / total_tokens / avgdl from docbase kind=0 columns
+            (tiny columnar agg) + hot-term detection from the fused
+            kind=1 partial dfs (the hot set only steers level-1
+            partitioning, never output) — zero content reads.
   docmeta   docbase + bits(lang, path, doc_len > avgdl) — the forward
             index (J1 analog); no content involved.
   postings  content pass two: actor-pool tokenizer emits compressed
@@ -101,14 +102,25 @@ def _chunk_bounds(n: int, chunks: int) -> list[tuple[int, int]]:
     return [(lo, min(lo + step, n)) for lo in range(0, n, step)]
 
 
-def _partial_df(t: pa.Table) -> pa.Table:
-    """Per-batch partial document frequencies. Docs never span batches,
-    so summing partials over batches gives exact df (the pre-aggregation
-    that keeps the stats shuffle small)."""
-    flat, parents = flatten_tokens(t["content"])
-    pairs = pa.table({"term": flat, "d": parents}).group_by(["term", "d"]).aggregate([])
-    out = pairs.group_by("term").aggregate([([], "count_all")])
-    return pa.table({"term": out["term"], "partial_df": out["count_all"]})
+# docbase phase output: kind=0 rows are the per-doc forward-index rows,
+# kind=1 rows are per-batch SAMPLED partial document frequencies reusing
+# the SAME tokenization the doc_len computation already paid for — the
+# stats phase then reads no content at all (one content pass before
+# postings instead of two)
+_DOCBASE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("sha256", pa.string()),
+        ("doc_len", pa.int64()),
+        ("kind", pa.int32()),
+        ("term", pa.string()),
+        ("partial_df", pa.int64()),
+    ]
+)
 
 
 # per-worker cache of the rank table's binary-search view, keyed by
@@ -117,9 +129,9 @@ def _partial_df(t: pa.Table) -> pa.Table:
 _WORKER_RANK_NP: dict[str, "np.ndarray"] = {}
 
 
-def _make_docbase_fn(rank_ref, id_col_present: bool):
+def _make_docbase_fn(rank_ref, id_col_present: bool, sample_mod: int = 1):
     def to_docbase(t: pa.Table) -> pa.Table:
-        from quickray.tokenize import doc_lengths, rank_probe_np
+        from quickray.tokenize import rank_probe_np
 
         if id_col_present:
             doc_id = t["doc_id"]
@@ -138,7 +150,15 @@ def _make_docbase_fn(rank_ref, id_col_present: bool):
             hashlib.sha256(s.encode()).hexdigest()
             for s in t["content"].to_pylist()
         ]
-        return pa.table(
+        # ONE tokenization pass serves both doc_len and the sampled
+        # hot-term partial dfs (rows at batch positions 0, mod, 2*mod
+        # ... — deterministic; the hot set only steers salting)
+        flat, parents = flatten_tokens(t["content"])
+        par = np.asarray(parents)
+        counts = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(counts, par, 1)
+        n = t.num_rows
+        base = pa.table(
             {
                 "doc_id": doc_id,
                 "repo": t["repo"],
@@ -146,9 +166,42 @@ def _make_docbase_fn(rank_ref, id_col_present: bool):
                 "commit": t["commit"],
                 "lang": t["lang"],
                 "sha256": pa.array(digests, pa.string()),
-                "doc_len": pa.array(doc_lengths(t["content"], t.num_rows)),
+                "doc_len": pa.array(counts),
+                "kind": pa.array(np.zeros(n, np.int32)),
+                "term": pa.nulls(n, pa.string()),
+                "partial_df": pa.nulls(n, pa.int64()),
             }
+        ).cast(_DOCBASE_SCHEMA)
+        if sample_mod > 1:
+            in_sample = np.zeros(n, dtype=bool)
+            in_sample[::sample_mod] = True
+            tok_mask = in_sample[par] if len(par) else np.zeros(0, bool)
+            sflat = flat.filter(pa.array(tok_mask))
+            spar = pa.array(par[tok_mask])
+        else:
+            sflat, spar = flat, parents
+        pairs = (
+            pa.table({"term": sflat, "d": spar})
+            .group_by(["term", "d"])
+            .aggregate([])
         )
+        out = pairs.group_by("term").aggregate([([], "count_all")])
+        m = out.num_rows
+        dfrows = pa.table(
+            {
+                "doc_id": pa.nulls(m, pa.int64()),
+                "repo": pa.nulls(m, pa.string()),
+                "path": pa.nulls(m, pa.string()),
+                "commit": pa.nulls(m, pa.string()),
+                "lang": pa.nulls(m, pa.string()),
+                "sha256": pa.nulls(m, pa.string()),
+                "doc_len": pa.nulls(m, pa.int64()),
+                "kind": pa.array(np.ones(m, np.int32)),
+                "term": out["term"],
+                "partial_df": out["count_all"],
+            }
+        ).cast(_DOCBASE_SCHEMA)
+        return pa.concat_tables([base, dfrows])
 
     return to_docbase
 
@@ -250,14 +303,46 @@ class _Source:
         unlike the crc32 sum this replaces) plus the exact row count."""
 
         def sigb(t: pa.Table) -> pa.Table:
-            s1 = s2 = 0
-            for r, p, c in zip(
-                t["repo"].to_pylist(), t["path"].to_pylist(),
-                t["content"].to_pylist(),
-            ):
-                d = hashlib.sha256(f"{r}\x01{p}\x01{c or ''}".encode()).digest()
-                s1 += int.from_bytes(d[:8], "little")
-                s2 += int.from_bytes(d[8:16], "little")
+            # per-row sha256 is inherent, but everything around it is
+            # batched: the row bytes come from ONE Arrow join kernel and
+            # are hashed through memoryview slices of the value buffer
+            # (no per-row f-strings / int.from_bytes / column to_pylist);
+            # digest words accumulate via numpy 32-bit-split sums (exact,
+            # overflow-free), preserving the identical signature value
+            import pyarrow.compute as pc
+
+            cols = []
+            for name in ("repo", "path", "content"):
+                c = t[name]
+                if isinstance(c, pa.ChunkedArray):
+                    c = c.combine_chunks()
+                if not pa.types.is_string(c.type):
+                    c = c.cast(pa.string())
+                cols.append(pc.fill_null(c, "") if c.null_count else c)
+            joined = pc.binary_join_element_wise(
+                cols[0], cols[1], cols[2], "\x01"
+            )
+            if joined.offset:
+                joined = pa.concat_arrays([joined])
+            n = len(joined)
+            bufs = joined.buffers()
+            offs = np.frombuffer(bufs[1], np.int32, count=n + 1).astype(np.int64)
+            data = (
+                memoryview(bufs[2])[: offs[-1]]
+                if bufs[2] is not None
+                else memoryview(b"")
+            )
+            sha = hashlib.sha256
+            dig = bytearray(16 * n)
+            for i in range(n):
+                dig[16 * i : 16 * i + 16] = sha(
+                    data[offs[i] : offs[i + 1]]
+                ).digest()[:16]
+            pair = np.frombuffer(bytes(dig), "<u8").reshape(-1, 2)
+            lo = (pair & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            hi = (pair >> np.uint64(32)).astype(np.int64)
+            s1 = (int(hi[:, 0].sum()) << 32) + int(lo[:, 0].sum())
+            s2 = (int(hi[:, 1].sum()) << 32) + int(lo[:, 1].sum())
             return pa.table(
                 {
                     "s1": pa.array([s1 % (1 << 62)], pa.int64()),
@@ -281,34 +366,18 @@ class _Source:
         s2 = int(agg["s2"] or 0) % (1 << 62)
         return f"datasig:{s1}:{s2}:{int(agg['n'] or 0)}"
 
-    def sample_content(self, mod: int) -> tuple["rd.Dataset", float]:
-        """~1/mod deterministic sample of the content column and the
-        actual inverse sampling fraction. For multi-file parquet sources
-        the sample is file-stride (only 1/mod of files is even READ —
-        the prune-at-the-read version of row sampling); otherwise
-        row-stride within batches."""
-        if mod <= 1:
-            return self.read(["content"]), 1.0
+    def count_rows(self) -> int | None:
+        """Row count from metadata where free (parquet footers / table
+        length); None for generic Datasets (callers then skip the
+        row-sampling optimization rather than force an execution)."""
         if isinstance(self.raw, str):
-            import glob
-
-            pat = (
-                os.path.join(self.raw, "*.parquet")
-                if os.path.isdir(self.raw)
-                else self.raw
-            )
-            files = sorted(glob.glob(pat))
-            if len(files) >= 2 * mod:
-                picked = files[::mod]
-                return (
-                    rd.read_parquet(picked, columns=["content"]),
-                    len(files) / len(picked),
-                )
-        ds = self.read(["content"]).map_batches(
-            lambda t: t.take(np.arange(0, t.num_rows, mod)),
-            batch_format="pyarrow",
-        )
-        return ds, float(mod)
+            try:
+                return pads.dataset(self.raw, format="parquet").count_rows()
+            except (OSError, pa.ArrowInvalid):
+                return None
+        if isinstance(self.raw, pa.Table):
+            return self.raw.num_rows
+        return None
 
 
 def build_partitioned(
@@ -439,6 +508,7 @@ def build_index(
     layout = (
         f"|layout:parts={num_parts},shards={num_shards},salts={num_salts},"
         f"chunks={shuffle_chunks if durable_shuffle else 0},bs={block_size}"
+        ",dbv=2"  # docbase schema v2 (fused sampled-df rows)
     )
     man = Manifest(out_dir, src.fingerprint + layout)
     result = BuildResult(out_dir=out_dir)
@@ -474,8 +544,14 @@ def build_index(
     result.phase_times["docids"] = time.time() - t0
 
     # ------------------------------------------------------ phase docbase
+    # ONE content pass produces the forward-index rows AND the sampled
+    # hot-term partial dfs (kind column; _DOCBASE_SCHEMA) — the stats
+    # phase never reads content again. Sampling kicks in only on large
+    # corpora; the hot set steers salting, never output.
     t0 = time.time()
     docbase_dir = os.path.join(out_dir, "docbase")
+    n_for_mod = n_docs_expected if use_rank else src.count_rows()
+    sample_mod = 1 if (n_for_mod or 0) <= 20_000 else 16
     base_cols = ["repo", "path", "commit", "lang", "content"]
     if not use_rank:
         base_cols = [id_col] + base_cols
@@ -485,10 +561,12 @@ def build_index(
         if not use_rank and id_col != "doc_id":
             ds = ds.rename_columns({id_col: "doc_id"})
         ds.map_batches(
-            _make_docbase_fn(rank_ref, not use_rank), batch_format="pyarrow"
+            _make_docbase_fn(rank_ref, not use_rank, sample_mod),
+            batch_format="pyarrow",
         ).write_parquet(d)
         man.mark_done("docbase", elapsed=time.time() - t0,
-                      counters={"id_mode": id_col or "rank(repo,path)"})
+                      counters={"id_mode": id_col or "rank(repo,path)",
+                                "sample_mod": sample_mod})
     result.phase_times["docbase"] = time.time() - t0
 
     # --------------------------------------------------------- phase stats
@@ -496,13 +574,18 @@ def build_index(
     stats_path = os.path.join(out_dir, "stats", "stats.json")
     if not man.phase_done("stats"):
         d = man.phase_dir("stats")
-        if pads.dataset(docbase_dir, format="parquet").count_rows() == 0:
+        if pads.dataset(docbase_dir, format="parquet").count_rows(
+            filter=pads.field("kind") == 0
+        ) == 0:
             # id_col path can't know emptiness before the docbase pass
             raise ValueError(
                 "empty corpus: the source produced 0 docbase rows — "
                 "nothing to index (check the source path/table)"
             )
-        lens = rd.read_parquet(docbase_dir, columns=["doc_id", "doc_len"])
+        lens = rd.read_parquet(
+            docbase_dir, columns=["doc_id", "doc_len", "kind"],
+            filter=pads.field("kind") == 0,
+        )
         agg = lens.aggregate(
             Count(), Sum("doc_len", alias_name="total_tokens"),
             Min("doc_id", alias_name="min_id"), Max("doc_id", alias_name="max_id"),
@@ -525,15 +608,16 @@ def build_index(
             )
         avgdl = total_tokens / max(1, n_docs)
         threshold = hot_df if hot_df is not None else max(256, n_docs // 8)
-        # Hot-term detection on a deterministic 1-in-16 row sample once
-        # the corpus is big enough — the hot set only steers level-1
-        # partitioning (salting), never final index content, so sampling
-        # cannot change the output. Saves a full tokenize pass at scale.
-        sample_mod = 1 if n_docs <= 20_000 else 16
-        sample, inv_frac = src.sample_content(sample_mod)
-        sampled_threshold = int(threshold / inv_frac)
+        # Hot-term detection from the docbase pass's fused sampled
+        # partial dfs (kind=1 rows) — NO second content read. The hot
+        # set only steers level-1 partitioning (salting), never final
+        # index content, so sampling cannot change the output.
+        sampled_threshold = int(threshold / sample_mod)
         hot_rows = (
-            sample.map_batches(_partial_df, batch_format="pyarrow")
+            rd.read_parquet(
+                docbase_dir, columns=["term", "partial_df", "kind"],
+                filter=pads.field("kind") == 1,
+            )
             .groupby("term")
             .aggregate(Sum("partial_df", alias_name="df"))
             .map_batches(
@@ -576,15 +660,16 @@ def build_index(
         def add_bits(t: pa.Table) -> pa.Table:
             from quickray.scoring import compute_bits
 
+            t = t.drop_columns(["kind", "term", "partial_df"])
             bits = compute_bits(
                 t["lang"].to_pylist(), t["path"].to_pylist(),
                 np.asarray(t["doc_len"]), avgdl, langs,
             )
             return t.append_column("bits", pa.array(bits))
 
-        rd.read_parquet(docbase_dir).map_batches(
-            add_bits, batch_format="pyarrow"
-        ).write_parquet(d)
+        rd.read_parquet(
+            docbase_dir, filter=pads.field("kind") == 0
+        ).map_batches(add_bits, batch_format="pyarrow").write_parquet(d)
         man.mark_done("docmeta", elapsed=time.time() - t0)
     result.phase_times["docmeta"] = time.time() - t0
 
