@@ -122,7 +122,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         extra["build_docs_per_sec"] = n_docs / stages["build_docs"]
 
         # ---- query latency: reference set, index loaded once ----
-        eng = LocalEngine(Index(out, preload_top_df=64))
+        # adaptive preload: heaviest postings decoded in __init__ until
+        # ~512 MB decoded — the p95 tail was a cold hot-term decode
+        eng = LocalEngine(Index(out, preload_top_df=64, preload_bytes=512 << 20))
         queries = make_query_set(eng.index.df_table(), langs=P.DOC_LANGS)
         for q in queries[:4]:
             eng.search(q)  # warm the posting cache

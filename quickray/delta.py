@@ -67,6 +67,11 @@ class _MaskedIndex:
     def doc_lens(self, doc_ids: np.ndarray) -> np.ndarray:
         return self._ix.doc_lens(doc_ids)
 
+    def df_of(self, term: str) -> int:
+        # AND-ordering estimate only: the unmasked df upper-bounds the
+        # live df, which is all the size ordering needs
+        return self._ix.df_of(term)
+
 
 class _LiveDf:
     """Lazy per-term live document frequency: sum of tombstone-masked

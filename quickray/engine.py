@@ -27,7 +27,15 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from quickray.codec import decode_postings, varint_decode
-from quickray.query import And, Query, Term, collect_terms, flat_or_terms, query_from_json
+from quickray.query import (
+    And,
+    Or,
+    Query,
+    Term,
+    collect_terms,
+    flat_or_terms,
+    query_from_json,
+)
 from quickray.scoring import bm25_contrib, flags_mask
 
 
@@ -40,6 +48,63 @@ class Posting:
     df: int
     block_last: np.ndarray
     block_max: np.ndarray
+    # lazily memoized exact BM25 contributions under the OWNING index's
+    # (df, n_docs, avgdl) — query-independent, so computed once per
+    # cached posting instead of once per query (the warm-p95 hot cost)
+    contrib: np.ndarray | None = None
+    # dense doc_id-indexed contrib vector (0.0 where absent) — built
+    # only for stopword-grade terms (df > n_docs/2), where multi-term
+    # OR scoring degenerates to pure vector adds
+    contrib_dense: np.ndarray | None = None
+
+
+def posting_contrib(
+    p: Posting, df, n_docs: int, avgdl: float, memoize: bool
+) -> np.ndarray:
+    """Per-posting BM25 contributions, memoized on the Posting when the
+    scoring stats are the owning index's own (``memoize=True``, the
+    LocalEngine case — stats never change for a loaded index, so the
+    cache can never go stale). Doc-sharded serving overrides df /
+    n_docs / avgdl with corpus-global values (PartitionedEngine); those
+    pass ``memoize=False`` and recompute."""
+    if memoize:
+        if p.contrib is None:
+            p.contrib = bm25_contrib(p.tfs, p.dls, p.df, n_docs, avgdl)
+        return p.contrib
+    return bm25_contrib(p.tfs, p.dls, df, n_docs, avgdl)
+
+
+def posting_contrib_dense(p: Posting, n_docs: int, avgdl: float) -> np.ndarray:
+    """Doc_id-indexed dense contrib vector (0.0 where the doc lacks the
+    term), memoized. Adding 0.0 is IEEE-exact, so dense vector sums are
+    bit-identical to sparse per-doc accumulation in the same term
+    order. Only worth the 8B*n_docs when df is a sizable fraction of
+    the corpus — callers gate on that."""
+    if p.contrib_dense is None:
+        d = np.zeros(n_docs, dtype=np.float64)
+        d[p.doc_ids] = posting_contrib(p, p.df, n_docs, avgdl, True)
+        p.contrib_dense = d
+    return p.contrib_dense
+
+
+def _dense_topk(
+    scores_d: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k by (-score, doc_id) over a dense doc-indexed score vector
+    where score > 0 == doc present (bm25_contrib is strictly positive:
+    the idf log argument is > 1 and tf >= 1)."""
+    n = len(scores_d)
+    if k > 0 and n > k:
+        kth = np.partition(scores_d, n - k)[n - k]
+        if kth > 0.0:
+            uniq = np.flatnonzero(scores_d >= kth)
+            scores = scores_d[uniq]
+            order = np.lexsort((uniq, -scores))[:k]
+            return uniq[order], scores[order]
+    uniq = np.flatnonzero(scores_d)
+    scores = scores_d[uniq]
+    order = np.lexsort((uniq, -scores))[:k]
+    return uniq[order], scores[order]
 
 
 class Index:
@@ -52,6 +117,7 @@ class Index:
         out_dir: str,
         shards: set[int] | None = None,
         preload_top_df: int = 0,
+        preload_bytes: int | None = None,
     ):
         self.out_dir = out_dir
         with open(os.path.join(out_dir, "stats", "stats.json")) as f:
@@ -79,12 +145,49 @@ class Index:
         # stop caching new hot terms on large-vocab serving)
         self._cache: "OrderedDict[str, Posting | None]" = OrderedDict()
         self._cache_cap = 4096
-        if preload_top_df:
+        if preload_top_df or preload_bytes:
             # decode the heaviest postings once at load time (serving
-            # actors pay this in __init__, never on the query path)
-            df = np.asarray(self._seg["df"])
-            for i in np.argsort(-df)[:preload_top_df]:
-                self.posting(self._seg["term"][int(i)].as_py())
+            # actors pay this in __init__, never on the query path).
+            # preload_bytes widens the fixed top-N ADAPTIVELY: preload
+            # in descending-df order until the estimated DECODED size
+            # (4 int64 arrays ≈ 32 B/posting) reaches the budget — a
+            # cold ~1M-posting hot term otherwise costs ~170 ms on the
+            # first query that touches it (the r02 p95 tail).
+            df = np.asarray(self._seg["df"], dtype=np.int64)
+            order = np.argsort(-df)
+            n_pre = int(preload_top_df)
+            if preload_bytes is not None:
+                # decoded posting ≈ 4 int64 arrays + memoized contrib
+                # float64 = 40 B/posting
+                cum = np.cumsum(df[order]) * 40
+                n_pre = max(
+                    n_pre,
+                    int(np.searchsorted(cum, preload_bytes, side="right")),
+                )
+            n_pre = min(n_pre, len(order))
+            self._cache_cap = max(self._cache_cap, 2 * n_pre)
+            for i in order[:n_pre]:
+                p = self.posting(self._term_col[int(i)].as_py())
+                if p is not None and p.contrib is None:
+                    # pre-warm the memoized contributions too — a cold
+                    # first query then pays neither decode nor scoring
+                    p.contrib = bm25_contrib(
+                        p.tfs, p.dls, p.df, self.n_docs, self.avgdl
+                    )
+                if p is not None and len(p.doc_ids) > self.n_docs // 2:
+                    posting_contrib_dense(p, self.n_docs, self.avgdl)
+            try:
+                # the dense-eval flag path reads doc-level bits once —
+                # pay that here, not on the first flagged query
+                self.docmeta_arrays(("bits",))
+            except (OSError, KeyError):
+                pass  # builds without a docmeta bits column
+
+    def df_of(self, term: str) -> int:
+        """Segment df without decoding the posting — O(log V) probe.
+        Used to order AND-child evaluation by estimated size."""
+        i = self._term_index(term)
+        return 0 if i is None else int(self._seg["df"][i].as_py())
 
     def _term_index(self, term: str) -> int | None:
         """Segment row index of `term` via binary search on the sorted
@@ -241,19 +344,48 @@ def _accumulate_topk(
     sort (both paths sum in order of appearance = ascending term)."""
     if not doc_arrays:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    docs = np.concatenate(doc_arrays)
-    contribs = np.concatenate(contrib_arrays)
-    if n_docs is not None and len(docs) > n_docs // 16:
+    total = sum(len(d) for d in doc_arrays)
+    if len(doc_arrays) == 1:
+        # single posting list: docs are already unique and sorted — no
+        # accumulation needed at all
+        uniq, scores = doc_arrays[0], contrib_arrays[0]
+    elif n_docs is not None and total > n_docs // 16:
         # dense only when postings are a sizable fraction of the corpus;
-        # small queries would pay O(n_docs) allocation for nothing
-        scores_d = np.bincount(docs, weights=contribs, minlength=n_docs)
-        counts = np.bincount(docs, minlength=n_docs)
-        uniq = np.flatnonzero(counts)
+        # small queries would pay O(n_docs) allocation for nothing.
+        # Per-term scatter-add (docs are unique WITHIN a term, so plain
+        # fancy-index += is exact) beats a weighted bincount over the
+        # concatenation ~4x and skips the concat copies; the per-doc
+        # float summation order (ascending term) is unchanged.
+        scores_d = np.zeros(n_docs, dtype=np.float64)
+        for d, c in zip(doc_arrays, contrib_arrays):
+            scores_d[d] += c
+        # bm25_contrib is strictly positive (idf's log argument > 1,
+        # tf >= 1), so score > 0 == doc present; select k-and-ties on
+        # the DENSE array — one partition, no full uniq extraction
+        if 0 < k < n_docs:
+            kth = np.partition(scores_d, n_docs - k)[n_docs - k]
+            if kth > 0.0:
+                uniq = np.flatnonzero(scores_d >= kth)
+                scores = scores_d[uniq]
+                order = np.lexsort((uniq, -scores))[:k]
+                return uniq[order], scores[order]
+        uniq = np.flatnonzero(scores_d)
         scores = scores_d[uniq]
     else:
+        docs = np.concatenate(doc_arrays)
+        contribs = np.concatenate(contrib_arrays)
         uniq, inv = np.unique(docs, return_inverse=True)
         scores = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(scores, inv, contribs)
+    return _topk_select(uniq, scores, k)
+
+
+def _topk_select(
+    uniq: np.ndarray, scores: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k of (doc, score) pairs by (-score, doc_id): partition down
+    to the k-th value + ties, then lexsort only that candidate set —
+    identical result to a full sort."""
     if len(uniq) > max(k, 0) > 0 and len(uniq) > 4 * k:
         kth = np.partition(scores, len(scores) - k)[len(scores) - k]
         cand = scores >= kth  # k-th largest value + all ties
@@ -299,15 +431,96 @@ class LocalEngine:
                 return np.empty(0, np.int64)
             parts = [ev(c) for c in node.children]
             if isinstance(node, And):
+                # smallest-first searchsorted intersection: O(m log n)
+                # per step instead of intersect1d's sort-of-concat
+                parts.sort(key=len)
                 out = parts[0]
                 for p in parts[1:]:
                     if len(out) == 0:
                         return out
-                    out = np.intersect1d(out, p, assume_unique=True)
+                    li = np.searchsorted(p, out)
+                    li_c = np.minimum(li, len(p) - 1)
+                    out = out[(li < len(p)) & (p[li_c] == out)]
                 return out
             return functools.reduce(np.union1d, parts)
 
         return ev(q.tree)
+
+    # ------------------------------------------- AND-shaped fast path
+    def _est_size(self, node) -> int:
+        """Upper-bound result-size estimate from segment dfs alone (no
+        posting decode): Term -> df, Or -> sum, And -> min."""
+        if isinstance(node, Term):
+            return self.index.df_of(node.term)
+        if not node.children:
+            return 0
+        ests = [self._est_size(c) for c in node.children]
+        return min(ests) if isinstance(node, And) else sum(ests)
+
+    def _member_pos(
+        self, term: str, docs: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(membership mask over ``docs``, posting positions of the
+        hits). Flags are NOT re-applied — bits are doc-level, so any
+        seed result that passed the flag filter stays valid."""
+        p = self.index.posting(term)
+        if p is None or len(p.doc_ids) == 0:
+            z = np.zeros(len(docs), dtype=bool)
+            return z, np.empty(0, np.int64)
+        li = np.searchsorted(p.doc_ids, docs)
+        li_c = np.minimum(li, len(p.doc_ids) - 1)
+        hit = (li < len(p.doc_ids)) & (p.doc_ids[li_c] == docs)
+        return hit, li_c[hit]
+
+    def _member_mask(self, node, docs: np.ndarray) -> np.ndarray:
+        if isinstance(node, Term):
+            return self._member_pos(node.term, docs)[0]
+        if not node.children:
+            return np.zeros(len(docs), dtype=bool)
+        masks = (self._member_mask(c, docs) for c in node.children)
+        red = np.logical_and if isinstance(node, And) else np.logical_or
+        return functools.reduce(red, masks)
+
+    def _root_and_eval(
+        self, q: Query
+    ) -> tuple[np.ndarray, dict[str, np.ndarray]] | None:
+        """Evaluate a root-AND query smallest-child-first: the smallest
+        child (by segment-df estimate, no decode) is evaluated exactly
+        (with flags), every other child becomes a binary-search
+        membership filter over that seed — no large intersections or
+        unions are ever materialized. Term children additionally record
+        their posting positions so scoring is a pure contrib gather.
+        Returns (candidates, {term: positions aligned with candidates})
+        or None when the tree is not an AND."""
+        node = q.tree
+        if not isinstance(node, And) or not node.children:
+            return None
+        order = sorted(
+            range(len(node.children)),
+            key=lambda i: self._est_size(node.children[i]),
+        )
+        seed = node.children[order[0]]
+        out = LocalEngine.candidates(
+            self, Query(tree=seed, on_flag=q.on_flag, off_flag=q.off_flag,
+                        or_flags=q.or_flags, k=q.k)
+        )
+        pos_memo: dict[str, np.ndarray] = {}
+        if isinstance(seed, Term) and len(out):
+            pos_memo[seed.term] = self._member_pos(seed.term, out)[1]
+        for i in order[1:]:
+            if len(out) == 0:
+                return out, {}
+            c = node.children[i]
+            if isinstance(c, Term):
+                mask, pos = self._member_pos(c.term, out)
+                pos_memo[c.term] = pos
+            else:
+                mask = self._member_mask(c, out)
+            out = out[mask]
+            for t in list(pos_memo):
+                if t != (c.term if isinstance(c, Term) else None):
+                    pos_memo[t] = pos_memo[t][mask]
+        return out, pos_memo
 
     # ----------------------------------------------------------- scoring
     def _term_contrib(
@@ -322,19 +535,57 @@ class LocalEngine:
         if not hit.any():
             return None
         pos = li_c[hit]
-        df = self._df.get(term, p.df) if self._df is not None else p.df
-        contrib = bm25_contrib(
-            p.tfs[pos], p.dls[pos], df, self._n_docs, self._avgdl
-        )
+        if self._global:
+            # corpus-global stat overrides: compute just the hit
+            # positions (no memoization — stats aren't the index's own)
+            df = self._df.get(term, p.df)
+            contrib = bm25_contrib(
+                p.tfs[pos], p.dls[pos], df, self._n_docs, self._avgdl
+            )
+        else:
+            contrib = posting_contrib(
+                p, p.df, self._n_docs, self._avgdl, True
+            )[pos]
         return cand[hit], contrib
 
-    def score(self, q: Query, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def score(
+        self,
+        q: Query,
+        cand: np.ndarray,
+        pos_memo: dict[str, np.ndarray] | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
         docs, contribs = [], []
         for term in collect_terms(q.tree):
-            got = self._term_contrib(term, cand)
+            if pos_memo is not None and term in pos_memo:
+                # positions already found during AND evaluation —
+                # contrib is a pure gather, docs align with cand
+                p = self.index.posting(term)
+                pos = pos_memo[term]
+                if self._global:
+                    df = self._df.get(term, p.df)
+                    c = bm25_contrib(
+                        p.tfs[pos], p.dls[pos], df, self._n_docs, self._avgdl
+                    )
+                else:
+                    c = posting_contrib(
+                        p, p.df, self._n_docs, self._avgdl, True
+                    )[pos]
+                got = (cand, c)
+            else:
+                got = self._term_contrib(term, cand)
             if got is not None:
                 docs.append(got[0])
                 contribs.append(got[1])
+        if len(docs) > 1 and all(len(d) == len(cand) for d in docs):
+            # every term covers every candidate (the AND shape):
+            # _term_contrib returned arrays aligned on cand, so the
+            # per-doc sum is one elementwise add per term — same
+            # ascending-term float order as the scatter path, no
+            # dense re-accumulation
+            scores = contribs[0].copy()
+            for c in contribs[1:]:
+                scores += c
+            return _topk_select(cand, scores, q.k)
         return _accumulate_topk(docs, contribs, q.k, self.index.n_docs)
 
     def search(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
@@ -347,6 +598,10 @@ class LocalEngine:
             from quickray.wand import block_max_topk
 
             return block_max_topk(self, terms, q)
+        got = self._root_and_eval(q)
+        if got is not None:
+            cand, pos_memo = got
+            return self.score(q, cand, pos_memo)
         return self.score(q, self.candidates(q))
 
     def search_df(self, q: Query):
@@ -469,8 +724,11 @@ class QueryEngineActor:
         mode: str = "topk",
         hydrate_cols: tuple[str, ...] = (),
         rounded_rank: bool = False,
+        preload_bytes: int | None = 256 << 20,
     ):
-        self.engine = LocalEngine(Index(index_dir, shards, preload_top_df))
+        self.engine = LocalEngine(
+            Index(index_dir, shards, preload_top_df, preload_bytes)
+        )
         self.mode = mode
         self.rounded_rank = rounded_rank
         self.hydrate_cols = tuple(hydrate_cols)

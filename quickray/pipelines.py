@@ -619,6 +619,7 @@ def sharded_reference_queries(sf_dir: str, n_groups: int = 4):
                 "shards": set(range(lo, min(lo + group_size, num_shards))),
                 "mode": "contrib",
                 "preload_top_df": 0,
+                "preload_bytes": None,  # scatter touches each term once
             },
             batch_format="pyarrow",
             batch_size=64,
