@@ -758,10 +758,13 @@ class QueryEngineActor:
                     continue
                 m = flags_mask(p.bits, q.on_flag, q.off_flag, q.or_flags)
                 d = p.doc_ids[m]
-                c = bm25_contrib(
-                    p.tfs[m], p.dls[m], p.df,
+                # contribs are memoized per cached posting — repeated
+                # terms across the query batch cost one gather each
+                c = posting_contrib(
+                    p, p.df,
                     self.engine.index.n_docs, self.engine.index.avgdl,
-                )
+                    True,
+                )[m]
                 seg_qids.append(q.id)
                 seg_lens.append(len(d))
                 doc_parts.append(d)

@@ -164,3 +164,45 @@ def test_minhash_no_candidates(ray_session):
     got = minhash_near_duplicates(rd.from_arrow(docs), threshold=0.5)
     rows = got.take_all() if hasattr(got, "take_all") else got.to_pylist()
     assert rows == []
+
+
+def test_topk_k_exceeds_corpus_dense_path():
+    """k >= n_docs must not crash the dense accumulate partition
+    (regression: np.partition(kth=n_docs-k) went negative on tiny
+    corpora) and must return every matching doc, ranked."""
+    from quickray.engine import _accumulate_topk, _dense_topk
+
+    n_docs = 7
+    docs = [np.array([0, 2, 4, 6]), np.array([0, 1, 2, 3, 4, 5, 6])]
+    contribs = [np.full(4, 2.0), np.full(7, 1.0)]
+    ids, sc = _accumulate_topk(docs, contribs, k=10, n_docs=n_docs)
+    assert ids.tolist() == [0, 2, 4, 6, 1, 3, 5]
+    assert sc.tolist() == [3.0, 3.0, 3.0, 3.0, 1.0, 1.0, 1.0]
+
+    dense = np.zeros(5)
+    dense[[1, 3]] = [0.5, 2.5]
+    ids, sc = _dense_topk(dense, k=9)
+    assert ids.tolist() == [3, 1]
+    assert sc.tolist() == [2.5, 0.5]
+
+
+def test_posting_contrib_memoized_and_global_bypass():
+    """posting_contrib memoizes only under the index's own stats;
+    global-stat overrides recompute with the supplied df."""
+    from quickray.engine import Posting, posting_contrib
+
+    p = Posting(
+        doc_ids=np.array([0, 1, 2]),
+        tfs=np.array([1, 2, 3]),
+        dls=np.array([10, 10, 10]),
+        bits=np.zeros(3, np.int64),
+        df=3,
+        block_last=np.array([2]),
+        block_max=np.array([1.0]),
+    )
+    c1 = posting_contrib(p, 3, 100, 10.0, True)
+    assert p.contrib is c1
+    assert posting_contrib(p, 3, 100, 10.0, True) is c1
+    c_global = posting_contrib(p, 50, 1000, 12.0, False)
+    assert p.contrib is c1  # untouched by the global-stats call
+    assert not np.allclose(c1, c_global)
