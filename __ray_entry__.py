@@ -107,6 +107,37 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.4
 """
 
+# exact 3-token-shingle Jaccard pairs >= 0.5 — what the high-recall
+# MinHash-LSH configuration (bands = num_perm) provably computes;
+# shingle identity = chr(1)-joined tokens, docs shorter than the
+# shingle get one whole-doc shingle. Oracle for minhash_near_dup and
+# (via recursive closure) the edge set of dup_clusters.
+_MINHASH_PAIRS_SQL = f"""
+WITH {_TOKP},
+sh3 AS (
+  SELECT t.doc_id,
+         t.term || chr(1) || lead(t.term, 1) OVER w || chr(1) || lead(t.term, 2) OVER w AS sh
+  FROM tokp t JOIN nt n USING (doc_id)
+  WHERE n.n >= 3
+  WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.rn)
+  QUALIFY t.rn <= n.n - 2
+),
+shs AS (
+  SELECT t.doc_id, string_agg(t.term, chr(1) ORDER BY t.rn) AS sh
+  FROM tokp t JOIN nt n USING (doc_id) WHERE n.n < 3 GROUP BY t.doc_id
+),
+s AS (SELECT DISTINCT doc_id, sh FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM shs)),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS c
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, round(i.c::DOUBLE / (sa.n + sb.n - i.c), 4) AS jaccard
+FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+WHERE i.c::DOUBLE / (sa.n + sb.n - i.c) >= 0.5
+"""
+
 # exact cosine top-10 vs the vec_id=0 embedding — oracle for BOTH
 # ann_cosine_topk and the rank-exact (nprobe=4/8) ivf_ann_topk config
 _ANN_TOPK_SQL = """
@@ -367,6 +398,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank-exact fixture configurations (see pipelines docstrings)
         "lsh_near_dup": P.lsh_near_dup_pipeline,
         "minhash_near_dup": P.minhash_pairs_pipeline,
+        # connected components over the near-dup edge set (the "keep
+        # one per cluster" dedup step); oracle = recursive closure
+        "dup_clusters": P.dup_clusters_pipeline,
         "simhash": P.simhash_pipeline,
         "doc_fingerprint": P.fingerprint_pipeline,
         "ivf_ann_topk": P.ivf_topk_pipeline,
@@ -681,34 +715,28 @@ best AS (
 SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
 FROM documents d LEFT JOIN best b USING (doc_id)
 """,
-        # exact 3-token-shingle Jaccard pairs >= 0.5 — what the
-        # high-recall MinHash-LSH configuration (bands = num_perm)
-        # provably computes; shingle identity = chr(1)-joined tokens,
-        # docs shorter than the shingle get one whole-doc shingle
-        "minhash_near_dup": f"""
-WITH {_TOKP},
-sh3 AS (
-  SELECT t.doc_id,
-         t.term || chr(1) || lead(t.term, 1) OVER w || chr(1) || lead(t.term, 2) OVER w AS sh
-  FROM tokp t JOIN nt n USING (doc_id)
-  WHERE n.n >= 3
-  WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.rn)
-  QUALIFY t.rn <= n.n - 2
+        "minhash_near_dup": _MINHASH_PAIRS_SQL,
+        # connected components over the exact-Jaccard pair set: DuckDB
+        # recursive reachability closure (components are near-dup
+        # clusters — tiny — so the closure stays bounded), min
+        # reachable doc_id = cluster_id. Mirrors
+        # extras/dedup.connected_components' min-label fixpoint.
+        "dup_clusters": f"""
+WITH RECURSIVE pairs AS (
+  SELECT a, b FROM ({_MINHASH_PAIRS_SQL})
 ),
-shs AS (
-  SELECT t.doc_id, string_agg(t.term, chr(1) ORDER BY t.rn) AS sh
-  FROM tokp t JOIN nt n USING (doc_id) WHERE n.n < 3 GROUP BY t.doc_id
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b, a FROM pairs
 ),
-s AS (SELECT DISTINCT doc_id, sh FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM shs)),
-sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM s GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS c
-  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
 )
-SELECT i.a, i.b, round(i.c::DOUBLE / (sa.n + sb.n - i.c), 4) AS jaccard
-FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
-WHERE i.c::DOUBLE / (sa.n + sb.n - i.c) >= 0.5
+SELECT node::BIGINT AS doc_id, min(lab)::BIGINT AS cluster_id
+FROM reach GROUP BY node
 """,
         "top_users": """
 SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 4) AS vsum

@@ -398,6 +398,94 @@ def simhash_signatures(ds: "rd.Dataset") -> "rd.Dataset":
     return ds.map_batches(per_batch, batch_format="pyarrow", batch_size=1024)
 
 
+def connected_components(
+    pairs: "rd.Dataset", max_iters: int = 64, num_partitions: int = 4
+) -> "rd.Dataset":
+    """Connected components over undirected (a, b) near-dup edges via
+    distributed min-label propagation: every node's label converges to
+    the smallest doc_id reachable from it. Returns (doc_id, cluster_id)
+    for every node that appears in an edge — the "keep one per cluster"
+    step of a dedup pipeline (keep doc_id == cluster_id).
+
+    Each iteration is one hash join (edge dst -> current label) plus one
+    groupby-min — both distributed shuffles over the EDGE set, which is
+    orders of magnitude smaller than the corpus after LSH + verify.
+    Labels are non-negative and strictly decrease somewhere until the
+    fixpoint, so sum(label) is a monotone convergence witness computed
+    as a Dataset aggregate (no driver-side label table). Rounds needed =
+    the largest component's diameter; near-dup clusters are shallow
+    (dup "stars" around a template), and max_iters bounds adversarial
+    chains."""
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"], dtype=np.int64)
+        b = np.asarray(batch["b"], dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "cluster_id": pa.array([], pa.int64())}
+            )
+        )
+
+    def self_label(batch: pa.Table) -> pa.Table:
+        src = batch["src"]
+        return pa.table({"node": src, "label": src})
+
+    # distinct nodes, each initially labeled with itself — the groupby
+    # min is a native vectorized aggregate, no per-group Python
+    labels = (
+        edges.map_batches(self_label, batch_format="pyarrow")
+        .groupby("node").min("label")
+        .rename_columns({"min(label)": "label"})
+    ).materialize()
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_iters):
+        # dst's current label flows to src across every directed edge;
+        # the symmetric edge table covers both directions
+        msgs = (
+            edges.join(
+                labels, join_type="inner", num_partitions=num_partitions,
+                on=("dst",), right_on=("node",),
+            )
+            .select_columns(["src", "label"])
+            .rename_columns({"src": "node"})
+        )
+        labels = (
+            msgs.union(labels)
+            .groupby("node").min("label")
+            .rename_columns({"min(label)": "label"})
+        ).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:  # labels only decrease -> fixpoint
+            break
+        prev_sum = cur_sum
+
+    return labels.rename_columns({"node": "doc_id", "label": "cluster_id"})
+
+
+def near_dup_clusters(
+    ds: "rd.Dataset", threshold: float = 0.5, num_perm: int = 64,
+    bands: int = 16, shingle_k: int = 3,
+) -> "rd.Dataset":
+    """Full dedup-clustering pipeline: MinHash-LSH candidates ->
+    distributed exact-Jaccard verify -> connected components. Returns
+    (doc_id, cluster_id) for every doc in a near-dup component; the
+    canonical keep-set is {cluster_id} (the min doc of each cluster)."""
+    return connected_components(
+        minhash_near_duplicates(ds, threshold, num_perm, bands, shingle_k)
+    )
+
+
 def ngram_jaccard_pairs(
     ds: "rd.Dataset", max_doc_id: int, shingle_k: int = 3, threshold: float = 0.2
 ) -> "rd.Dataset":

@@ -464,6 +464,21 @@ def minhash_pairs_pipeline(sf_dir: str):
     )
 
 
+def dup_clusters_pipeline(sf_dir: str):
+    """Near-dup CLUSTERING: the minhash_pairs_pipeline edge set run
+    through distributed connected components (min-label propagation) —
+    (doc_id, cluster_id = min doc of the component) for every doc in a
+    near-dup pair. The dedup keep-set is {doc_id == cluster_id}. Uses
+    the same high-recall banding as minhash_pairs_pipeline so the
+    DuckDB oracle (recursive closure over the exact-Jaccard pairs) is
+    exact."""
+    from quickray.extras.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        _docs_ds(sf_dir), threshold=0.5, num_perm=64, bands=64
+    )
+
+
 def ngram_jaccard_pipeline(sf_dir: str, max_doc_id: int = 60) -> pa.Table:
     """Exact token-set Jaccard (shingle k=1) on doc_id < 60 pairs."""
     from quickray.extras.dedup import ngram_jaccard_pairs

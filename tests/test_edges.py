@@ -206,3 +206,27 @@ def test_posting_contrib_memoized_and_global_bypass():
     c_global = posting_contrib(p, 50, 1000, 12.0, False)
     assert p.contrib is c1  # untouched by the global-stats call
     assert not np.allclose(c1, c_global)
+
+
+def test_connected_components(ray_session):
+    """Min-label propagation finds components for chains, triangles,
+    pairs, and a diameter-3 chain; empty edge sets yield an empty,
+    correctly-typed table."""
+    import ray.data as rd
+    from quickray.extras.dedup import connected_components
+
+    pairs = pa.table(
+        {
+            "a": pa.array([0, 1, 10, 10, 11, 20, 30, 31, 32], pa.int64()),
+            "b": pa.array([1, 2, 11, 12, 12, 21, 31, 32, 33], pa.int64()),
+        }
+    )
+    got = connected_components(rd.from_arrow(pairs)).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [0, 1, 2, 10, 11, 12, 20, 21, 30, 31, 32, 33]
+    assert got["cluster_id"].tolist() == [0, 0, 0, 10, 10, 10, 20, 20, 30, 30, 30, 30]
+
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    out = connected_components(rd.from_arrow(empty))
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "cluster_id"]
