@@ -196,9 +196,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             corpus_path, columns=["repo", "path", "content"]
         ).map_batches(to_docs, batch_format="pyarrow")
         t0 = time.time()
-        _consume(minhash_near_duplicates(code_docs, threshold=0.5))
+        pairs_40k = minhash_near_duplicates(code_docs, threshold=0.5).materialize()
         stages["minhash_dedup_40k"] = time.time() - t0
         extra["minhash_dedup_docs_per_sec"] = r["n_docs"] / stages["minhash_dedup_40k"]
+
+        # near-dup CLUSTERING over the 40k-doc edge set: distributed
+        # min-label propagation (join + groupby-min rounds)
+        from quickray.extras.dedup import connected_components
+
+        t0 = time.time()
+        clusters = connected_components(pairs_40k).materialize()
+        stages["dup_clusters_40k"] = time.time() - t0
+        extra["dup_cluster_nodes"] = clusters.count()
         t0 = time.time()
         _consume(P.lsh_near_dup_pipeline(sf_dir))
         stages["lsh_near_dup"] = time.time() - t0

@@ -282,6 +282,22 @@ def shingle_set_rows(ds: "rd.Dataset", shingle_k: int) -> "rd.Dataset":
     return ds.map_batches(per_batch, batch_format="pyarrow", batch_size=1024)
 
 
+def _join_ready(
+    ds: "rd.Dataset", num_partitions: int, count: int
+) -> "rd.Dataset":
+    """Work around a Ray 2.49 hash-shuffle join hazard: a join side's
+    schema reaches the aggregators only via empty schema-carrier shards
+    sent by the FIRST shuffle task of that side, and _shuffle_block
+    returns early on a zero-row input block (hash_shuffle.py:223)
+    WITHOUT broadcasting — so a bounded/filtered dataset whose first
+    block happens to be empty makes every partition that receives none
+    of its rows join a schema-less table: acero raises 'No match or
+    multiple matches for key field'. repartition(n) splits rows evenly,
+    so with n <= count no output block is empty. Callers pass bounded,
+    already-materialized datasets (candidate pairs, edges, labels)."""
+    return ds.repartition(max(1, min(num_partitions, count)))
+
+
 def verify_pairs(
     cand: "rd.Dataset",
     docs_ds: "rd.Dataset",
@@ -295,7 +311,8 @@ def verify_pairs(
     join), then a per-pair sorted-array intersection. No driver-side
     shingle dict — this is the 100-TB shape of LSH verification."""
     cand = cand.materialize()  # bounded: candidate pairs only
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         # an all-empty dataset loses its column schema through the
         # groupby, which would break the hash join's key reference
         return rd.from_arrow(
@@ -304,11 +321,16 @@ def verify_pairs(
                  "jaccard": pa.array([], pa.float64())}
             )
         )
+    cand = _join_ready(cand, num_partitions, n_cand)
     sh_ds = shingle_set_rows(docs_ds, shingle_k)
     j1 = cand.join(
         sh_ds, join_type="inner", num_partitions=num_partitions,
         on=("a",), right_on=("doc_id",),
     ).rename_columns({"sh": "sh_a"})
+    # inner join keeps each pair exactly once (one shingle row per doc),
+    # so j1 is bounded by n_cand; the barrier re-packs its per-partition
+    # output blocks (possibly empty) before they feed the second join
+    j1 = _join_ready(j1.materialize(), num_partitions, n_cand)
     j2 = j1.join(
         sh_ds, join_type="inner", num_partitions=num_partitions,
         on=("b",), right_on=("doc_id",),
@@ -428,7 +450,8 @@ def connected_components(
         )
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(
             pa.table(
                 {"doc_id": pa.array([], pa.int64()),
@@ -440,6 +463,8 @@ def connected_components(
         src = batch["src"]
         return pa.table({"node": src, "label": src})
 
+    edges = _join_ready(edges, num_partitions, n_edges).materialize()
+
     # distinct nodes, each initially labeled with itself — the groupby
     # min is a native vectorized aggregate, no per-group Python
     labels = (
@@ -447,6 +472,7 @@ def connected_components(
         .groupby("node").min("label")
         .rename_columns({"min(label)": "label"})
     ).materialize()
+    n_nodes = labels.count()  # invariant across iterations
     prev_sum = labels.sum("label")
 
     for _ in range(max_iters):
@@ -454,7 +480,8 @@ def connected_components(
         # the symmetric edge table covers both directions
         msgs = (
             edges.join(
-                labels, join_type="inner", num_partitions=num_partitions,
+                _join_ready(labels, num_partitions, n_nodes),
+                join_type="inner", num_partitions=num_partitions,
                 on=("dst",), right_on=("node",),
             )
             .select_columns(["src", "label"])
