@@ -401,6 +401,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components over the near-dup edge set (the "keep
         # one per cluster" dedup step); oracle = recursive closure
         "dup_clusters": P.dup_clusters_pipeline,
+        # the deduplicated corpus itself: anti-join the loser list
+        "dedup_keep": P.dedup_keep_pipeline,
         "simhash": P.simhash_pipeline,
         "doc_fingerprint": P.fingerprint_pipeline,
         "ivf_ann_topk": P.ivf_topk_pipeline,
@@ -737,6 +739,30 @@ reach(node, lab) AS (
 )
 SELECT node::BIGINT AS doc_id, min(lab)::BIGINT AS cluster_id
 FROM reach GROUP BY node
+""",
+        # the deduplicated corpus: every doc except non-canonical
+        # near-dup cluster members (losers = nodes whose min reachable
+        # doc_id is smaller than themselves)
+        "dedup_keep": f"""
+WITH RECURSIVE pairs AS (
+  SELECT a, b FROM ({_MINHASH_PAIRS_SQL})
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b, a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+),
+losers AS (
+  SELECT node FROM reach GROUP BY node HAVING min(lab) <> node
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM losers)
 """,
         "top_users": """
 SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 4) AS vsum

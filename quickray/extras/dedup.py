@@ -513,6 +513,45 @@ def near_dup_clusters(
     )
 
 
+def dedup_corpus(
+    ds: "rd.Dataset", clusters: "rd.Dataset", num_partitions: int = 4
+) -> "rd.Dataset":
+    """Materialize the DEDUPLICATED corpus: drop every near-dup cluster
+    member except its canonical (min-doc_id) representative. The drop is
+    a distributed anti-join — corpus LEFT OUTER JOIN the loser list on
+    doc_id, keep the null-marker rows — so the corpus side streams and
+    only the bounded loser list (members with doc_id != cluster_id) is
+    materialized; no driver-side id set even when a third of a 100-TB
+    corpus is duplicate."""
+    import pyarrow.compute as pc
+
+    def losers_fn(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["doc_id"], batch["cluster_id"]))
+        return pa.table(
+            {
+                "loser_id": t["doc_id"],
+                "dup": pa.array(np.ones(len(t), np.int8)),
+            }
+        )
+
+    losers = (
+        clusters.map_batches(losers_fn, batch_format="pyarrow").materialize()
+    )
+    n_losers = losers.count()
+    if n_losers == 0:
+        return ds
+    joined = ds.join(
+        _join_ready(losers, num_partitions, n_losers),
+        join_type="left_outer", num_partitions=num_partitions,
+        on=("doc_id",), right_on=("loser_id",),
+    )
+
+    def keep_fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch["dup"])).drop_columns(["dup"])
+
+    return joined.map_batches(keep_fn, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(
     ds: "rd.Dataset", max_doc_id: int, shingle_k: int = 3, threshold: float = 0.2
 ) -> "rd.Dataset":

@@ -479,6 +479,22 @@ def dup_clusters_pipeline(sf_dir: str):
     )
 
 
+def dedup_keep_pipeline(sf_dir: str):
+    """Deduplicated corpus: near-dup clustering (same high-recall
+    banding as dup_clusters_pipeline, so the SQL oracle is exact)
+    followed by a distributed anti-join that drops every cluster member
+    except the min-doc_id representative. Returns the surviving
+    (doc_id, lang, n_chars) rows — the "write the cleaned corpus"
+    endpoint of a training-data dedup pipeline."""
+    from quickray.extras.dedup import dedup_corpus, near_dup_clusters
+
+    clusters = near_dup_clusters(
+        _docs_ds(sf_dir), threshold=0.5, num_perm=64, bands=64
+    )
+    docs = _docs_ds(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    return dedup_corpus(docs, clusters)
+
+
 def ngram_jaccard_pipeline(sf_dir: str, max_doc_id: int = 60) -> pa.Table:
     """Exact token-set Jaccard (shingle k=1) on doc_id < 60 pairs."""
     from quickray.extras.dedup import ngram_jaccard_pairs
