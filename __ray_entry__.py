@@ -418,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # real multimodal decode (pure-numpy BMP/PPM/WAV/Y4M parsers in
         # an actor-pool stage) — oracle = pre-encode ground truth
         "media_features": P.media_features_pipeline,
+        "media_transform": P.media_transform_pipeline,
     }
 
 
@@ -442,6 +443,10 @@ def oracle_sql() -> dict[str, str]:
         "media_features": f"""
 SELECT media_id, kind, n_values, value_sum
 FROM read_parquet('{__import__("quickray.pipelines", fromlist=["p"]).ensure_media_truth(_oracle_sf_dir())}')
+""",
+        "media_transform": f"""
+SELECT media_id, kind, out_n, out_sum
+FROM read_parquet('{__import__("quickray.pipelines", fromlist=["p"]).ensure_media_transform_truth(_oracle_sf_dir())}')
 """,
         "term_df": f"""
 WITH {_TOK}

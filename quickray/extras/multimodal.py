@@ -283,45 +283,52 @@ def featurize(ds: "rd.Dataset", concurrency: int = 2, batch_size: int = 64) -> "
     )
 
 
-def synthetic_media(n: int, seed: int = 5) -> tuple[pa.Table, pa.Table]:
-    """Deterministic media table in REAL containers + the ground-truth
-    table (media_id, kind, n_values, value_sum) computed from the raw
-    sample arrays BEFORE encoding — the decode oracle. Kinds cycle
+def _synthetic_items(
+    n: int, seed: int = 5
+) -> list[tuple[str, bytes, np.ndarray, int, int]]:
+    """Deterministic (kind, payload, raw, width, height) items; `raw`
+    keeps its PRE-ENCODE shape ((h,w,3) image, (ns,) audio, (f,h,w)
+    video frames) so both the decode truth and the transform truth are
+    computed from the same arrays the containers encode. Kinds cycle
     BMP-image, PPM-image, WAV-audio, Y4M-video."""
     rng = np.random.default_rng(seed)
-    payloads, kinds, widths, heights = [], [], [], []
-    t_nv, t_sum = [], []
+    items = []
     for i in range(n):
         variant = i % 4
         if variant in (0, 1):
             h = int(rng.integers(4, 17))
             w = int(rng.integers(4, 17))
             px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
-            payloads.append(encode_bmp(px) if variant == 0 else encode_ppm(px))
-            kinds.append("image")
-            widths.append(w)
-            heights.append(h)
-            raw = px.reshape(-1).astype(np.int64)
+            enc = encode_bmp(px) if variant == 0 else encode_ppm(px)
+            items.append(("image", enc, px, w, h))
         elif variant == 2:
             ns = int(rng.integers(64, 513))
             samples = rng.integers(-(1 << 15), 1 << 15, size=ns).astype(np.int16)
-            payloads.append(encode_wav(samples))
-            kinds.append("audio")
-            widths.append(ns)
-            heights.append(1)
-            raw = samples.astype(np.int64)
+            items.append(("audio", encode_wav(samples), samples, ns, 1))
         else:
             f = int(rng.integers(2, 5))
             h = int(rng.integers(4, 13))
             w = int(rng.integers(4, 13))
             frames = rng.integers(0, 256, size=(f, h, w)).astype(np.uint8)
-            payloads.append(encode_y4m(frames))
-            kinds.append("video")
-            widths.append(w)
-            heights.append(h)
-            raw = frames.reshape(-1).astype(np.int64)
-        t_nv.append(len(raw))
-        t_sum.append(int(raw.sum()))
+            items.append(("video", encode_y4m(frames), frames, w, h))
+    return items
+
+
+def synthetic_media(n: int, seed: int = 5) -> tuple[pa.Table, pa.Table]:
+    """Deterministic media table in REAL containers + the ground-truth
+    table (media_id, kind, n_values, value_sum) computed from the raw
+    sample arrays BEFORE encoding — the decode oracle. Kinds cycle
+    BMP-image, PPM-image, WAV-audio, Y4M-video."""
+    payloads, kinds, widths, heights = [], [], [], []
+    t_nv, t_sum = [], []
+    for kind, enc, raw, w, h in _synthetic_items(n, seed):
+        payloads.append(enc)
+        kinds.append(kind)
+        widths.append(w)
+        heights.append(h)
+        flat = raw.reshape(-1).astype(np.int64)
+        t_nv.append(len(flat))
+        t_sum.append(int(flat.sum()))
     media = pa.table(
         {
             "media_id": pa.array(range(n), pa.int64()),
@@ -341,3 +348,115 @@ def synthetic_media(n: int, seed: int = 5) -> tuple[pa.Table, pa.Table]:
         }
     )
     return media, truth
+
+
+def resize_nn(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w[, c]) array via floor index
+    mapping (src_row = out_row * h // out_h) — integer-exact, so the
+    oracle can reproduce it from the pre-encode pixels."""
+    h, w = px.shape[0], px.shape[1]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return px[ri][:, ci]
+
+
+def _transform_raw(
+    kind: str, raw: np.ndarray, out_h: int, out_w: int,
+    frame_stride: int, audio_stride: int,
+) -> np.ndarray:
+    """The per-kind transform semantics shared by the Ray stage and the
+    truth generator: image -> nearest-neighbor resize to (out_h, out_w);
+    video -> keep every frame_stride-th frame; audio -> keep every
+    audio_stride-th sample."""
+    if kind == "image":
+        return resize_nn(raw, out_h, out_w)
+    if kind == "audio":
+        return raw[::audio_stride]
+    return raw[::frame_stride]
+
+
+class MediaTransformer:
+    """Actor-pool resize / frame-sample stage — the multimodal
+    transforms a training pipeline runs after decode: images are
+    nearest-neighbor-resized to a model input size, videos
+    frame-sampled, audio decimated. Payloads are parsed by the numpy
+    container decoders and reshaped via the container's own metadata;
+    (out_n, out_sum) are integer-exact against pre-encode ground truth
+    (synthetic_transform_truth) — reproducing them requires the decode,
+    the reshape, AND the transform to all be right."""
+
+    def __init__(
+        self, out_h: int = 8, out_w: int = 8,
+        frame_stride: int = 2, audio_stride: int = 4,
+    ):
+        # in production: model/codec init, once per actor
+        self.out_h, self.out_w = out_h, out_w
+        self.frame_stride, self.audio_stride = frame_stride, audio_stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_n, out_sum = [], []
+        for payload in batch["payload"].to_pylist():
+            vals, meta = decode_payload(payload)
+            if "n_frames" in meta:  # video: (f, h, w) luma frames
+                kind = "video"
+                raw = vals.reshape(meta["n_frames"], meta["height"], meta["width"])
+            elif "width" in meta:  # image: (h, w, 3) RGB
+                kind = "image"
+                raw = vals.reshape(meta["height"], meta["width"], 3)
+            else:  # audio: flat PCM samples
+                kind = "audio"
+                raw = vals
+            out = _transform_raw(
+                kind, raw, self.out_h, self.out_w,
+                self.frame_stride, self.audio_stride,
+            )
+            out_n.append(int(out.size))
+            out_sum.append(int(out.sum()))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "out_n": pa.array(out_n, pa.int64()),
+                "out_sum": pa.array(out_sum, pa.int64()),
+            }
+        )
+
+
+def transform_media(
+    ds: "rd.Dataset", concurrency: int = 2, batch_size: int = 64
+) -> "rd.Dataset":
+    """Resize / frame-sample as an actor-pool map_batches stage (small
+    batch_size: binary payloads x batch x concurrency must fit the
+    actor heap)."""
+    return ds.map_batches(
+        MediaTransformer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def synthetic_transform_truth(
+    n: int, seed: int = 5, out_h: int = 8, out_w: int = 8,
+    frame_stride: int = 2, audio_stride: int = 4,
+) -> pa.Table:
+    """Ground truth for MediaTransformer over synthetic_media(n, seed):
+    (media_id, kind, out_n, out_sum) computed from the pre-encode raw
+    arrays with the same _transform_raw semantics."""
+    kinds, t_n, t_sum = [], [], []
+    for kind, _enc, raw, _w, _h in _synthetic_items(n, seed):
+        out = _transform_raw(
+            kind, raw.astype(np.int64), out_h, out_w, frame_stride, audio_stride
+        )
+        kinds.append(kind)
+        t_n.append(int(out.size))
+        t_sum.append(int(out.sum()))
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "out_n": pa.array(t_n, pa.int64()),
+            "out_sum": pa.array(t_sum, pa.int64()),
+        }
+    )

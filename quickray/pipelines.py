@@ -540,6 +540,34 @@ def ensure_media_truth(sf_dir: str) -> str:
     return path
 
 
+def ensure_media_transform_truth(sf_dir: str) -> str:
+    """Write (idempotently) the resize/frame-sample ground truth:
+    (media_id, kind, out_n, out_sum) computed from the pre-encode raw
+    arrays with the same per-kind transform semantics the Ray stage
+    applies after decoding the payload bytes."""
+    from quickray.extras.multimodal import synthetic_transform_truth
+
+    n = _media_n(sf_dir)
+    path = os.path.join(CACHE_ROOT, f"media_transform_truth_{n}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(CACHE_ROOT, exist_ok=True)
+        pq.write_table(synthetic_transform_truth(n), path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def media_transform_pipeline(sf_dir: str):
+    """Multimodal resize / frame-sample: images nearest-neighbor-resized
+    to 8x8, videos sampled every 2nd frame, audio decimated 4x — all
+    decoded from the container bytes inside an actor-pool map_batches
+    stage. (out_n, out_sum) are integer-exact vs the pre-encode truth."""
+    from quickray.extras.multimodal import synthetic_media, transform_media
+
+    ensure_media_transform_truth(sf_dir)
+    media, _ = synthetic_media(_media_n(sf_dir))
+    return transform_media(rd.from_arrow(media))
+
+
 def media_features_pipeline(sf_dir: str):
     """Real multimodal decode: deterministic BMP/PPM/WAV/Y4M payloads
     parsed by the pure-numpy container kernels inside an actor-pool

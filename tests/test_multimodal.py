@@ -82,3 +82,36 @@ def test_featurize_matches_ground_truth(ray_session):
     assert f0.shape == (FEATURE_DIM,)
     vals, _ = decode_payload(media["payload"][0].as_py())
     assert np.allclose(f0, pooled_features(vals))
+
+
+def test_resize_nn_exact():
+    from quickray.extras.multimodal import resize_nn
+
+    px = np.arange(6 * 4 * 3, dtype=np.int64).reshape(6, 4, 3)
+    out = resize_nn(px, 3, 2)
+    # floor mapping: rows 0,2,4 and cols 0,2
+    assert out.shape == (3, 2, 3)
+    assert np.array_equal(out, px[[0, 2, 4]][:, [0, 2]])
+    # upscale repeats source pixels, never interpolates
+    up = resize_nn(px[:2, :2], 4, 4)
+    assert set(np.unique(up)) <= set(np.unique(px[:2, :2]))
+
+
+def test_transform_matches_ground_truth(ray_session):
+    from quickray.extras.multimodal import (
+        synthetic_transform_truth,
+        transform_media,
+    )
+
+    n = 24
+    media, _ = synthetic_media(n)
+    got = (
+        transform_media(rd.from_arrow(media))
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    exp = synthetic_transform_truth(n).to_pandas()
+    assert got["out_n"].tolist() == exp["out_n"].tolist()
+    assert got["out_sum"].tolist() == exp["out_sum"].tolist()
+    assert got["kind"].tolist() == exp["kind"].tolist()
