@@ -289,12 +289,23 @@ def _join_ready(
     schema reaches the aggregators only via empty schema-carrier shards
     sent by the FIRST shuffle task of that side, and _shuffle_block
     returns early on a zero-row input block (hash_shuffle.py:223)
-    WITHOUT broadcasting — so a bounded/filtered dataset whose first
-    block happens to be empty makes every partition that receives none
-    of its rows join a schema-less table: acero raises 'No match or
-    multiple matches for key field'. repartition(n) splits rows evenly,
-    so with n <= count no output block is empty. Callers pass bounded,
-    already-materialized datasets (candidate pairs, edges, labels)."""
+    WITHOUT broadcasting — so a dataset whose first-shipped block is
+    empty makes every partition that receives none of its rows join a
+    schema-less table: acero raises 'No match or multiple matches for
+    key field'. Primary fix: drop the empty blocks by REFERENCE (reuse
+    the materialized object-store blocks, no data movement, block
+    parallelism preserved). Fallback if internals shift: repartition(n)
+    with n <= count splits rows evenly so no output block is empty.
+    Callers pass bounded datasets (candidate pairs, edges, labels)."""
+    try:
+        from ray.data.dataset import MaterializedDataset
+
+        mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
+        refs = [r for r, m in mat._plan.execute().blocks if m.num_rows]
+        if refs:
+            return rd.from_arrow_refs(refs)
+    except Exception:
+        pass
     return ds.repartition(max(1, min(num_partitions, count)))
 
 
@@ -328,9 +339,9 @@ def verify_pairs(
         on=("a",), right_on=("doc_id",),
     ).rename_columns({"sh": "sh_a"})
     # inner join keeps each pair exactly once (one shingle row per doc),
-    # so j1 is bounded by n_cand; the barrier re-packs its per-partition
-    # output blocks (possibly empty) before they feed the second join
-    j1 = _join_ready(j1.materialize(), num_partitions, n_cand)
+    # so j1 is bounded by n_cand; its per-partition output blocks
+    # (possibly empty) must be re-packed before feeding the second join
+    j1 = _join_ready(j1, num_partitions, n_cand)
     j2 = j1.join(
         sh_ds, join_type="inner", num_partitions=num_partitions,
         on=("b",), right_on=("doc_id",),
