@@ -230,3 +230,25 @@ def test_connected_components(ray_session):
     out = connected_components(rd.from_arrow(empty))
     assert out.count() == 0
     assert out.schema().names == ["doc_id", "cluster_id"]
+
+
+def test_join_ready_drops_empty_blocks(ray_session):
+    """_join_ready must yield a dataset with no zero-row blocks (the
+    Ray 2.49 hash-join schema-broadcast hazard) while preserving rows
+    and schema."""
+    import ray.data as rd
+    from quickray.extras.dedup import _join_ready
+
+    blocks = [
+        pa.table({"k": pa.array([1, 2], pa.int64())}),
+        pa.table({"k": pa.array([], pa.int64())}),
+        pa.table({"k": pa.array([3], pa.int64())}),
+        pa.table({"k": pa.array([], pa.int64())}),
+    ]
+    ds = rd.from_arrow(blocks)
+    out = _join_ready(ds, num_partitions=4, count=3)
+    mat = out.materialize()
+    sizes = [m.num_rows for _, m in mat._plan.execute().blocks]
+    assert all(s > 0 for s in sizes)
+    assert sum(sizes) == 3
+    assert mat.schema().names == ["k"]
