@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": P.simhash_pipeline,
         "doc_fingerprint": P.fingerprint_pipeline,
         "ivf_ann_topk": P.ivf_topk_pipeline,
+        "ivf_engine_topk": P.ivf_engine_topk_pipeline,
         "langid": P.langid_pipeline,
         # CSV-quirks ingest — oracle re-parses the fixture in SQL
         "video_csv_parse": P.video_csv_parse,
@@ -634,6 +635,7 @@ WHERE i.c::DOUBLE / (sa.n + sb.n - i.c) >= 0.2
 """,
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ivf_ann_topk": _ANN_TOPK_SQL,
+        "ivf_engine_topk": _ANN_TOPK_SQL,
         # batched ANN: one UNION ALL arm per query vector (vec_ids
         # 0/5/9 -> query_id 0/1/2), each the exact cosine top-10
         "ann_multi_topk": "\nUNION ALL\n".join(

@@ -517,6 +517,118 @@ def ivf_query(
     )
 
 
+class IVFEngine:
+    """WARM IVF serving — the serve half of the ivf_build/ivf_query
+    split, analog of engine.Index's warm posting cache: centroids are
+    loaded once per process/actor, and each probed cell is decoded into
+    a normalized (ids, matrix) pair on first touch then LRU-cached, so
+    repeat queries never re-read parquet. As an actor-pool stage
+    (``map_batches(IVFEngine, fn_constructor_kwargs=...)`` over a
+    (query_id, embedding) table) each actor ends up caching only the
+    cells its queries probe. cache_cells is the per-actor budget —
+    at scale size it to the worker heap via n_rows/nlist * d * 8 bytes
+    per cell. Results are identical to ivf_query (same rounding and
+    (-cosine, vec_id) tie order)."""
+
+    def __init__(
+        self, index_dir: str, k: int = 10, nprobe: int = 2,
+        ndigits: int | None = 4, cache_cells: int = 64,
+    ):
+        import json
+        import os
+        from collections import OrderedDict
+
+        self.index_dir = index_dir
+        self.k, self.nprobe, self.ndigits = k, nprobe, ndigits
+        self.centroids = _normalize(
+            np.load(os.path.join(index_dir, "centroids.npy"))
+        )
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self._cells: "OrderedDict[int, tuple]" = OrderedDict()
+        self._cap = cache_cells
+
+    def _cell(self, c: int):
+        if c in self._cells:
+            self._cells.move_to_end(c)
+            return self._cells[c]
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        files = sorted(
+            glob.glob(
+                os.path.join(self.index_dir, "cells", f"cell={c}", "*.parquet")
+            )
+        )
+        if files:
+            t = pa.concat_tables(
+                pq.read_table(f, columns=["vec_id", "embedding"]) for f in files
+            )
+            ids = np.asarray(t["vec_id"].combine_chunks(), dtype=np.int64)
+            m = _normalize(_batch_mat(t))
+        else:
+            ids, m = np.empty(0, np.int64), np.empty((0, 0), np.float64)
+        self._cells[c] = (ids, m)
+        if len(self._cells) > self._cap:
+            self._cells.popitem(last=False)
+        return self._cells[c]
+
+    def query(
+        self, query_vec, k: int | None = None, nprobe: int | None = None
+    ) -> pa.Table:
+        from quickray.util import round_sql
+
+        k = self.k if k is None else k
+        nprobe = self.nprobe if nprobe is None else nprobe
+        q = _normalize(np.asarray(query_vec, dtype=np.float64))
+        probe = np.argsort(-(self.centroids @ q))[:nprobe]
+        all_ids, all_sims = [], []
+        for c in probe.tolist():
+            ids, m = self._cell(int(c))
+            if len(ids) == 0:
+                continue
+            sims = m @ q
+            if self.ndigits is not None:
+                sims = round_sql(sims, self.ndigits)
+            all_ids.append(ids)
+            all_sims.append(sims)
+        if not all_ids:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        ids = np.concatenate(all_ids)
+        sims = np.concatenate(all_sims)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {"vec_id": pa.array(ids[order]), "cosine": pa.array(sims[order])}
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Actor-pool batch form: (query_id, embedding) rows in, top-k
+        (query_id, vec_id, cosine) rows out. The per-query loop is over
+        QUERIES (each a cached-cell matmul), not corpus rows."""
+        qm = _batch_mat(batch)
+        qids = np.asarray(batch["query_id"], dtype=np.int64)
+        parts = []
+        for qid, vec in zip(qids.tolist(), qm):
+            t = self.query(vec)
+            parts.append(
+                t.append_column(
+                    "query_id", pa.array(np.full(len(t), qid, np.int64))
+                )
+            )
+        if not parts:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64()),
+                 "query_id": pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(parts)
+
+
 def ivf_topk(
     ds: "rd.Dataset",
     query_vec,

@@ -450,6 +450,27 @@ def ivf_topk_pipeline(sf_dir: str) -> pa.Table:
     )
 
 
+def ivf_engine_topk_pipeline(sf_dir: str) -> pa.Table:
+    """WARM IVF serving: same persisted index as ivf_topk_pipeline, but
+    answered by IVFEngine (centroids + LRU-cached cell matrices, no Ray
+    read on the query path) at the rank-exact nprobe=4 config — result
+    identical to ivf_query and to the brute-force cosine top-k, so the
+    same DuckDB oracle applies."""
+    from quickray.extras.similarity import IVFEngine, ivf_build
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    emb = pq.read_table(src)
+    qvec = emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py()
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    index_dir = os.path.join(CACHE_ROOT, f"ivf_{tag}")
+    ivf_build(
+        _emb_ds(sf_dir), index_dir, nlist=8, sample_rows=1024, fingerprint=tag
+    )
+    return IVFEngine(index_dir, k=10, nprobe=4).query(qvec)
+
+
 def minhash_pairs_pipeline(sf_dir: str):
     """MinHash-LSH near-dup in its high-recall configuration (bands =
     num_perm = 64, i.e. one signature row per band: a pair with true

@@ -167,3 +167,50 @@ def test_ivf_persisted_index(tmp_path, ray_session):
     # changed fingerprint invalidates and rebuilds
     meta3 = ivf_build(ds, idx, nlist=8, sample_rows=256, fingerprint="t2")
     assert meta3["fingerprint"] == "t2"
+
+
+def test_ivf_engine_warm_serving(tmp_path, ray_session):
+    """IVFEngine answers identically to ivf_query at every nprobe, its
+    batch __call__ form matches per-query results, and the LRU cell
+    cache evicts without changing answers."""
+    from quickray.extras.similarity import IVFEngine, ivf_build, ivf_query
+
+    tbl = _rand_emb_table(200, 16, seed=11, perm=False)
+    ds = rd.from_arrow(tbl).repartition(4)
+    idx = str(tmp_path / "ivf")
+    ivf_build(ds, idx, nlist=8, sample_rows=256, fingerprint="w1")
+
+    eng = IVFEngine(idx, k=10, nprobe=2)
+    qm = _batch_mat(tbl)
+    for nprobe in (1, 2, 8):
+        for qi in (0, 3, 7):
+            cold = ivf_query(idx, qm[qi], k=10, nprobe=nprobe)
+            warm = eng.query(qm[qi], nprobe=nprobe)
+            assert np.array_equal(
+                np.asarray(warm["vec_id"]), np.asarray(cold["vec_id"])
+            ), (nprobe, qi)
+            assert np.allclose(
+                np.asarray(warm["cosine"]), np.asarray(cold["cosine"])
+            )
+
+    # batch form: one row per (query_id, embedding)
+    qb = pa.table(
+        {
+            "query_id": pa.array([0, 3], pa.int64()),
+            "embedding": tbl["embedding"].take([0, 3]),
+        }
+    )
+    out = eng(qb)
+    for qid in (0, 3):
+        got = out.filter(
+            pa.compute.equal(out["query_id"], pa.scalar(qid, pa.int64()))
+        )
+        exp = eng.query(qm[qid])
+        assert np.array_equal(np.asarray(got["vec_id"]), np.asarray(exp["vec_id"]))
+
+    # a cache of 1 cell forces constant eviction; answers are unchanged
+    tiny = IVFEngine(idx, k=10, nprobe=8, cache_cells=1)
+    full = tiny.query(qm[5])
+    ref = ivf_query(idx, qm[5], k=10, nprobe=8)
+    assert len(tiny._cells) == 1
+    assert np.array_equal(np.asarray(full["vec_id"]), np.asarray(ref["vec_id"]))
