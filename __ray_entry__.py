@@ -397,6 +397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LSH / sketch pipelines, oracle-checked in their high-recall /
         # rank-exact fixture configurations (see pipelines docstrings)
         "lsh_near_dup": P.lsh_near_dup_pipeline,
+        # connected components over the embedding near-dup edge set
+        "embedding_clusters": P.embedding_clusters_pipeline,
         "minhash_near_dup": P.minhash_pairs_pipeline,
         # connected components over the near-dup edge set (the "keep
         # one per cluster" dedup step); oracle = recursive closure
@@ -651,6 +653,25 @@ WHERE i.c::DOUBLE / (sa.n + sb.n - i.c) >= 0.2
         ),
         "embedding_near_dup": _NEAR_DUP_SQL,
         "lsh_near_dup": _NEAR_DUP_SQL,
+        # recursive reachability closure over the exact cosine pairs —
+        # mirrors extras/dedup.connected_components' min-label fixpoint
+        "embedding_clusters": f"""
+WITH RECURSIVE pairs AS (
+  SELECT a, b FROM ({_NEAR_DUP_SQL})
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b, a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node::BIGINT AS vec_id, min(lab)::BIGINT AS cluster_id
+FROM reach GROUP BY node
+""",
         # 64-bit SimHash over the token multiset; token hash =
         # md5_number_upper(term) >> 3 — DuckDB's md5_number_upper equals
         # python int.from_bytes(md5(t)[:8], 'little') (extras/dedup.py)

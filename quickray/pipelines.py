@@ -336,6 +336,20 @@ def lsh_near_dup_pipeline(sf_dir: str):
     return lsh_near_dup_pairs(_emb_ds(sf_dir), threshold=0.4, n_planes=32, bands=16)
 
 
+def embedding_clusters_pipeline(sf_dir: str):
+    """Near-dup clustering over the EMBEDDING family: the
+    lsh_near_dup_pipeline pair set (high-recall config = exact cosine
+    pairs on the fixture) run through the same distributed connected
+    components as the text-shingle side — (vec_id, cluster_id = min
+    vec of the component). One clustering operator composes over both
+    near-dup families."""
+    from quickray.extras.dedup import connected_components
+
+    return connected_components(lsh_near_dup_pipeline(sf_dir)).rename_columns(
+        {"doc_id": "vec_id"}
+    )
+
+
 # ---------------------------------------------------------- training extras
 def dedup_exact_pipeline(sf_dir: str):
     from quickray.extras.dedup import exact_duplicates
