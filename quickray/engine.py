@@ -180,8 +180,11 @@ class Index:
                 # the dense-eval flag path reads doc-level bits once —
                 # pay that here, not on the first flagged query
                 self.docmeta_arrays(("bits",))
-            except (OSError, KeyError):
-                pass  # builds without a docmeta bits column
+            except (OSError, KeyError, pa.ArrowInvalid):
+                # builds without a docmeta bits column: pyarrow raises
+                # ArrowInvalid (a ValueError subclass) for a missing
+                # parquet column, not KeyError
+                pass
 
     def df_of(self, term: str) -> int:
         """Segment df without decoding the posting — O(log V) probe.
@@ -359,18 +362,7 @@ def _accumulate_topk(
         scores_d = np.zeros(n_docs, dtype=np.float64)
         for d, c in zip(doc_arrays, contrib_arrays):
             scores_d[d] += c
-        # bm25_contrib is strictly positive (idf's log argument > 1,
-        # tf >= 1), so score > 0 == doc present; select k-and-ties on
-        # the DENSE array — one partition, no full uniq extraction
-        if 0 < k < n_docs:
-            kth = np.partition(scores_d, n_docs - k)[n_docs - k]
-            if kth > 0.0:
-                uniq = np.flatnonzero(scores_d >= kth)
-                scores = scores_d[uniq]
-                order = np.lexsort((uniq, -scores))[:k]
-                return uniq[order], scores[order]
-        uniq = np.flatnonzero(scores_d)
-        scores = scores_d[uniq]
+        return _dense_topk(scores_d, k)
     else:
         docs = np.concatenate(doc_arrays)
         contribs = np.concatenate(contrib_arrays)

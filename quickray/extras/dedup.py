@@ -486,6 +486,7 @@ def connected_components(
     n_nodes = labels.count()  # invariant across iterations
     prev_sum = labels.sum("label")
 
+    converged = False
     for _ in range(max_iters):
         # dst's current label flows to src across every directed edge;
         # the symmetric edge table covers both directions
@@ -505,8 +506,17 @@ def connected_components(
         ).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:  # labels only decrease -> fixpoint
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # silent non-convergence would return WRONG cluster ids for any
+        # component whose diameter exceeds max_iters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "rounds (a component's diameter exceeds max_iters); raise "
+            "max_iters for long chain-shaped duplicate components"
+        )
 
     return labels.rename_columns({"node": "doc_id", "label": "cluster_id"})
 

@@ -36,6 +36,11 @@ MEDIA_SCHEMA = pa.schema(
 
 FEATURE_DIM = 16
 
+# bump whenever _synthetic_items' generation or the default transform
+# parameters change — versions the cached ground-truth parquet files so
+# a stale /tmp cache can never be compared against new pipeline output
+TRUTH_VERSION = 2
+
 
 # ------------------------------------------------------------- containers
 def encode_bmp(pixels: np.ndarray) -> bytes:
@@ -98,14 +103,18 @@ def decode_ppm(b: bytes) -> tuple[np.ndarray, dict]:
     # header: magic, whitespace-separated w h maxval, ONE whitespace byte
     pos, fields = 2, []
     while len(fields) < 3:
+        if pos >= len(b):  # truncated header must raise, not spin
+            raise ValueError("truncated PPM header")
         while b[pos : pos + 1].isspace():
             pos += 1
         if b[pos : pos + 1] == b"#":  # comment line
             pos = b.index(b"\n", pos) + 1
             continue
         start = pos
-        while not b[pos : pos + 1].isspace():
+        while pos < len(b) and not b[pos : pos + 1].isspace():
             pos += 1
+        if pos == len(b):
+            raise ValueError("truncated PPM header")
         fields.append(int(b[start:pos]))
     pos += 1  # the single whitespace after maxval
     w, h, maxval = fields

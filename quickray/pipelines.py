@@ -442,6 +442,21 @@ def ann_multi_topk_pipeline(sf_dir: str) -> pa.Table:
     return brute_force_topk_batch(_emb_ds(sf_dir), qvecs, k=10, ndigits=4)
 
 
+def _ivf_fixture(sf_dir: str) -> tuple[list, str, str]:
+    """(query vec, persisted-index dir, fingerprint tag) for the
+    embeddings fixture. The cache key is the file identity (abspath +
+    mtime) and is SHARED by the cold (ivf_topk) and warm (IVFEngine)
+    pipelines — one place to change so they can never silently
+    build/serve different indexes."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    emb = pq.read_table(src)
+    qvec = emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py()
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    return qvec, os.path.join(CACHE_ROOT, f"ivf_{tag}"), tag
+
+
 def ivf_topk_pipeline(sf_dir: str) -> pa.Table:
     """IVF top-k served from the PERSISTED index (built once per
     embeddings file into a /tmp cache, queries read only the probed
@@ -451,16 +466,10 @@ def ivf_topk_pipeline(sf_dir: str) -> pa.Table:
     probed-bytes fraction for the approximate regimes (nprobe<4)."""
     from quickray.extras.similarity import ivf_topk
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    emb = pq.read_table(src)
-    qvec = emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py()
-    tag = hashlib.md5(
-        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
-    ).hexdigest()[:12]
+    qvec, index_dir, tag = _ivf_fixture(sf_dir)
     return ivf_topk(
         _emb_ds(sf_dir), qvec, k=10, nlist=8, nprobe=4, sample_rows=1024,
-        index_dir=os.path.join(CACHE_ROOT, f"ivf_{tag}"),
-        fingerprint=tag,
+        index_dir=index_dir, fingerprint=tag,
     )
 
 
@@ -472,13 +481,7 @@ def ivf_engine_topk_pipeline(sf_dir: str) -> pa.Table:
     same DuckDB oracle applies."""
     from quickray.extras.similarity import IVFEngine, ivf_build
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    emb = pq.read_table(src)
-    qvec = emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py()
-    tag = hashlib.md5(
-        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
-    ).hexdigest()[:12]
-    index_dir = os.path.join(CACHE_ROOT, f"ivf_{tag}")
+    qvec, index_dir, tag = _ivf_fixture(sf_dir)
     ivf_build(
         _emb_ds(sf_dir), index_dir, nlist=8, sample_rows=1024, fingerprint=tag
     )
@@ -563,10 +566,10 @@ def ensure_media_truth(sf_dir: str) -> str:
     the raw sample arrays BEFORE container encoding. The oracle SQL
     reads this parquet; the pipeline must PARSE the BMP/PPM/WAV/Y4M
     payload bytes to reproduce it."""
-    from quickray.extras.multimodal import synthetic_media
+    from quickray.extras.multimodal import TRUTH_VERSION, synthetic_media
 
     n = _media_n(sf_dir)
-    path = os.path.join(CACHE_ROOT, f"media_truth_{n}.parquet")
+    path = os.path.join(CACHE_ROOT, f"media_truth_v{TRUTH_VERSION}_{n}.parquet")
     if not os.path.exists(path):
         os.makedirs(CACHE_ROOT, exist_ok=True)
         _, truth = synthetic_media(n)
@@ -580,10 +583,15 @@ def ensure_media_transform_truth(sf_dir: str) -> str:
     (media_id, kind, out_n, out_sum) computed from the pre-encode raw
     arrays with the same per-kind transform semantics the Ray stage
     applies after decoding the payload bytes."""
-    from quickray.extras.multimodal import synthetic_transform_truth
+    from quickray.extras.multimodal import (
+        TRUTH_VERSION,
+        synthetic_transform_truth,
+    )
 
     n = _media_n(sf_dir)
-    path = os.path.join(CACHE_ROOT, f"media_transform_truth_{n}.parquet")
+    path = os.path.join(
+        CACHE_ROOT, f"media_transform_truth_v{TRUTH_VERSION}_{n}.parquet"
+    )
     if not os.path.exists(path):
         os.makedirs(CACHE_ROOT, exist_ok=True)
         pq.write_table(synthetic_transform_truth(n), path + ".tmp")

@@ -116,6 +116,10 @@ def block_max_topk(engine, terms: list[str], q: Query):
 
     if k <= 0 or total <= EXHAUSTIVE_CUTOFF:
         return full_eval()
+    if k >= total:
+        # the candidate pool (bounded by total posting entries) can
+        # never reach k docs — pruning would only build and discard it
+        return full_eval()
     if any(len(p.block_last) == 0 for p in ps):
         # a nonempty posting without block metadata can't contribute to
         # the UB function — pruning would over-prune; score exhaustively

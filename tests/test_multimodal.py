@@ -115,3 +115,12 @@ def test_transform_matches_ground_truth(ray_session):
     assert got["out_n"].tolist() == exp["out_n"].tolist()
     assert got["out_sum"].tolist() == exp["out_sum"].tolist()
     assert got["kind"].tolist() == exp["kind"].tolist()
+
+
+def test_ppm_truncated_header_raises():
+    """A truncated/malformed P6 header must raise, not spin forever."""
+    from quickray.extras.multimodal import decode_ppm
+
+    for bad in (b"P6", b"P6 ", b"P6 12", b"P6\n4 4", b"P6\n#comment"):
+        with pytest.raises(ValueError):
+            decode_ppm(bad)
