@@ -426,7 +426,11 @@ def run_scaling(
         },
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    # undersized smoke runs must not clobber the headline evidence file:
+    # short builds sit on the 3-4s driver-serial floor and report
+    # meaningless efficiencies (see BASELINE.md methodology)
+    name = "scaling.json" if n_docs >= 500_000 else f"scaling_n{n_docs}.json"
+    with open(os.path.join(REPO, "BENCH", name), "w") as f:
         json.dump(summary, f, indent=2)
     return summary
 
