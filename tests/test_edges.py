@@ -252,3 +252,49 @@ def test_join_ready_drops_empty_blocks(ray_session):
     assert all(s > 0 for s in sizes)
     assert sum(sizes) == 3
     assert mat.schema().names == ["k"]
+
+
+def test_connected_components_random_vs_union_find(ray_session):
+    """Distributed min-label propagation equals a reference union-find
+    on random graphs (mixed component shapes, permuted ids)."""
+    import ray.data as rd
+    from quickray.extras.dedup import connected_components
+
+    for seed in (0, 2):
+        rng = np.random.default_rng(seed)
+        n, m = 60, 45
+        a = rng.integers(0, n, m).astype(np.int64)
+        b = rng.integers(0, n, m).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a.tolist(), b.tolist()):
+            parent[find(x)] = find(y)
+        in_graph = sorted(set(a.tolist()) | set(b.tolist()))
+        exp = {}
+        for node in in_graph:
+            root = find(node)
+            exp.setdefault(root, []).append(node)
+        want = {}
+        for members in exp.values():
+            lab = min(members)
+            for node in members:
+                want[node] = lab
+
+        got = (
+            connected_components(
+                rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+            )
+            .to_pandas()
+            .set_index("doc_id")["cluster_id"]
+            .to_dict()
+        )
+        assert got == want, seed
