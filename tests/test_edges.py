@@ -298,3 +298,93 @@ def test_connected_components_random_vs_union_find(ray_session):
             .to_dict()
         )
         assert got == want, seed
+
+
+def test_lsh_bucket_cap_star_pairs():
+    """Oversize LSH buckets emit O(m) star pairs (min-id hub), not
+    O(m^2) — the degenerate-bucket defense; under the cap the full
+    triangular enumeration is unchanged."""
+    from quickray.extras.dedup import _pairs_from_ids
+
+    small = np.array([5, 3, 9], np.int64)
+    a, b = _pairs_from_ids(small, cap=512)
+    assert list(zip(a.tolist(), b.tolist())) == [(3, 5), (3, 9), (5, 9)]
+
+    big = np.arange(1000, dtype=np.int64)[::-1].copy()
+    a, b = _pairs_from_ids(big, cap=100)
+    assert len(a) == 999  # not 1000*999/2
+    assert (a == 0).all()
+    assert sorted(b.tolist()) == list(range(1, 1000))
+
+
+def test_pathological_identical_docs_bounded(ray_session):
+    """A corpus of thousands of IDENTICAL docs (one giant LSH bucket in
+    every band) must complete in bounded time/size: star-pair
+    candidates, verified jaccard == 1, one connected component keeping
+    exactly one doc."""
+    import ray.data as rd
+
+    from quickray.extras.dedup import (
+        dedup_corpus,
+        minhash_near_duplicates,
+        near_dup_clusters,
+    )
+
+    n = 3000
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(
+                ["the same boilerplate header license text body"] * n
+            ),
+        }
+    )
+    ds = rd.from_arrow(docs).repartition(8)
+    pairs = minhash_near_duplicates(ds, threshold=0.5).to_pandas()
+    # star pairs only: bounded O(n), all exact duplicates
+    assert len(pairs) == n - 1
+    assert (pairs["a"] == 0).all()
+    assert (pairs["jaccard"] == 1.0).all()
+
+    clusters = near_dup_clusters(ds, threshold=0.5).to_pandas()
+    assert len(clusters) == n
+    assert (clusters["cluster_id"] == 0).all()
+
+    kept = dedup_corpus(ds, rd.from_arrow(pa.Table.from_pandas(
+        clusters, preserve_index=False))).to_pandas()
+    assert kept["doc_id"].tolist() == [0]
+
+
+def test_dedup_corpus_broadcast_anti_filter(ray_session):
+    """dedup_corpus drops exactly the non-canonical cluster members via
+    the broadcast id filter (no join), preserving all corpus columns;
+    an all-canonical cluster table is a no-op."""
+    import ray.data as rd
+
+    from quickray.extras.dedup import dedup_corpus
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "lang": pa.array(list("abcde"), pa.string()),
+        }
+    )
+    clusters = pa.table(
+        {
+            "doc_id": pa.array([1, 3, 4], pa.int64()),
+            "cluster_id": pa.array([1, 1, 1], pa.int64()),
+        }
+    )
+    got = dedup_corpus(rd.from_arrow(docs), rd.from_arrow(clusters)).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [0, 1, 2]
+    assert got["lang"].tolist() == ["a", "b", "c"]
+
+    noop = pa.table(
+        {
+            "doc_id": pa.array([2], pa.int64()),
+            "cluster_id": pa.array([2], pa.int64()),
+        }
+    )
+    same = dedup_corpus(rd.from_arrow(docs), rd.from_arrow(noop)).to_pandas()
+    assert sorted(same["doc_id"].tolist()) == [0, 1, 2, 3, 4]
