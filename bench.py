@@ -169,7 +169,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         from quickray.extras.dedup import minhash_near_duplicates
 
         t0 = time.time()
-        _consume(minhash_near_duplicates(P._docs_ds(sf_dir), threshold=0.5))
+        _consume(
+            minhash_near_duplicates(
+                P._docs_ds(sf_dir, ["doc_id", "text"]), threshold=0.5
+            )
+        )
         stages["minhash_dedup"] = time.time() - t0
 
         # full dedup pipeline at 8x rows: the code corpus adapted to

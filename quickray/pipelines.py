@@ -35,26 +35,38 @@ DOC_LANGS = ["de", "en", "es", "fr", "zh"]  # sorted; bit i = DOC_LANGS[i]
 CACHE_ROOT = "/tmp/quickray_cache"
 
 
-def _docs_ds(sf_dir: str) -> "rd.Dataset":
+def _docs_ds(sf_dir: str, columns: list[str] | None = None) -> "rd.Dataset":
     """documents table, split into enough blocks to use the cluster —
     a single small parquet file otherwise becomes ONE block and every
     downstream map_batches runs on one core. All consumers are per-doc
-    or shuffle-aggregated, so block layout never changes results."""
+    or shuffle-aggregated, so block layout never changes results.
+
+    ``columns`` prunes the read to what the consumer touches — at corpus
+    scale (multimodal payload columns alongside text) an unpruned read
+    is the difference between scanning metadata and scanning everything;
+    every pipeline below passes its exact column set."""
     import ray
 
     n_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)))
     return rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
+        columns=columns,
         override_num_blocks=n_blocks,
     )
 
 
-def _emb_ds(sf_dir: str) -> "rd.Dataset":
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+def _emb_ds(sf_dir: str, columns: list[str] | None = None) -> "rd.Dataset":
+    if columns is None:
+        columns = ["vec_id", "embedding"]  # no consumer reads `label`
+    return rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=columns
+    )
 
 
-def _events_ds(sf_dir: str) -> "rd.Dataset":
-    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+def _events_ds(sf_dir: str, columns: list[str] | None = None) -> "rd.Dataset":
+    return rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=columns
+    )
 
 
 @lru_cache(maxsize=8)
@@ -96,7 +108,7 @@ def term_df(sf_dir: str) -> pa.Table:
         )
 
     res = (
-        _docs_ds(sf_dir)
+        _docs_ds(sf_dir, ["doc_id", "text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("pdf", alias_name="df"), Sum("pcf", alias_name="cf"))
@@ -284,8 +296,8 @@ def delta_bm25(sf_dir: str) -> pa.Table:
 
 
 def count_by_lang(sf_dir: str):
-    """A1 analog: grouped count, distributed."""
-    return _docs_ds(sf_dir).groupby("lang").aggregate(Count(alias_name="n"))
+    """A1 analog: grouped count, distributed (reads only `lang`)."""
+    return _docs_ds(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n"))
 
 
 def top_users_by_value(sf_dir: str) -> pa.Table:
@@ -306,7 +318,7 @@ def top_users_by_value(sf_dir: str) -> pa.Table:
         return t
 
     parts = (
-        _events_ds(sf_dir)
+        _events_ds(sf_dir, ["user_id", "value"])
         .groupby("user_id")
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="vsum"))
         .map_batches(partial, batch_format="pyarrow")
@@ -354,13 +366,13 @@ def embedding_clusters_pipeline(sf_dir: str):
 def dedup_exact_pipeline(sf_dir: str):
     from quickray.extras.dedup import exact_duplicates
 
-    return exact_duplicates(_docs_ds(sf_dir))
+    return exact_duplicates(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
 def token_stats_pipeline(sf_dir: str):
     from quickray.extras.textstats import token_stats
 
-    return token_stats(_docs_ds(sf_dir))
+    return token_stats(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
 def quality_pipeline(sf_dir: str) -> pa.Table:
@@ -392,7 +404,7 @@ def quality_pipeline(sf_dir: str) -> pa.Table:
             }
         )
 
-    return _docs_ds(sf_dir).map_batches(per_batch, batch_format="pyarrow")
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(per_batch, batch_format="pyarrow")
 
 
 def top_terms(sf_dir: str) -> pa.Table:
@@ -498,7 +510,7 @@ def minhash_pairs_pipeline(sf_dir: str):
     from quickray.extras.dedup import minhash_near_duplicates
 
     return minhash_near_duplicates(
-        _docs_ds(sf_dir), threshold=0.5, num_perm=64, bands=64
+        _docs_ds(sf_dir, ["doc_id", "text"]), threshold=0.5, num_perm=64, bands=64
     )
 
 
@@ -513,7 +525,7 @@ def dup_clusters_pipeline(sf_dir: str):
     from quickray.extras.dedup import near_dup_clusters
 
     return near_dup_clusters(
-        _docs_ds(sf_dir), threshold=0.5, num_perm=64, bands=64
+        _docs_ds(sf_dir, ["doc_id", "text"]), threshold=0.5, num_perm=64, bands=64
     )
 
 
@@ -527,9 +539,9 @@ def dedup_keep_pipeline(sf_dir: str):
     from quickray.extras.dedup import dedup_corpus, near_dup_clusters
 
     clusters = near_dup_clusters(
-        _docs_ds(sf_dir), threshold=0.5, num_perm=64, bands=64
+        _docs_ds(sf_dir, ["doc_id", "text"]), threshold=0.5, num_perm=64, bands=64
     )
-    docs = _docs_ds(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    docs = _docs_ds(sf_dir, ["doc_id", "lang", "n_chars"])
     return dedup_corpus(docs, clusters)
 
 
@@ -538,20 +550,20 @@ def ngram_jaccard_pipeline(sf_dir: str, max_doc_id: int = 60) -> pa.Table:
     from quickray.extras.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _docs_ds(sf_dir), max_doc_id=max_doc_id, shingle_k=1, threshold=0.2
+        _docs_ds(sf_dir, ["doc_id", "text"]), max_doc_id=max_doc_id, shingle_k=1, threshold=0.2
     )
 
 
 def simhash_pipeline(sf_dir: str):
     from quickray.extras.dedup import simhash_signatures
 
-    return simhash_signatures(_docs_ds(sf_dir))
+    return simhash_signatures(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
 def langid_pipeline(sf_dir: str):
     from quickray.extras.textstats import LangId
 
-    return _docs_ds(sf_dir).map_batches(
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
         LangId, batch_format="pyarrow", concurrency=2
     )
 
@@ -640,7 +652,9 @@ def events_window_pipeline(sf_dir: str):
             )
         return t
 
-    return window_aggregate(_events_ds(sf_dir), window_sec=3600).map_batches(
+    return window_aggregate(
+        _events_ds(sf_dir, ["ts", "event_type", "value"]), window_sec=3600
+    ).map_batches(
         round_cols, batch_format="pyarrow"
     )
 
@@ -648,7 +662,7 @@ def events_window_pipeline(sf_dir: str):
 def events_sessions_pipeline(sf_dir: str):
     from quickray.extras.events import sessionize
 
-    return sessionize(_events_ds(sf_dir), gap_sec=1800)
+    return sessionize(_events_ds(sf_dir, ["user_id", "ts", "event_id"]), gap_sec=1800)
 
 
 def embedding_near_dup_pipeline(sf_dir: str) -> pa.Table:
@@ -660,13 +674,13 @@ def embedding_near_dup_pipeline(sf_dir: str) -> pa.Table:
 def token_counts_pipeline(sf_dir: str):
     from quickray.extras.textstats import token_counts
 
-    return token_counts(_docs_ds(sf_dir))
+    return token_counts(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
 def fingerprint_pipeline(sf_dir: str):
     from quickray.extras.textstats import rolling_fingerprints
 
-    return rolling_fingerprints(_docs_ds(sf_dir))
+    return rolling_fingerprints(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
 def video_csv_parse(sf_dir: str) -> pa.Table:
