@@ -369,6 +369,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and": P.boolean_and,
         "boolean_or": P.boolean_or,
         "boolean_compound": P.boolean_compound,
+        # field-scoped term recall (author-recaller parity,
+        # keyword_author.go:16-54; posting key field + \x01 + word)
+        "boolean_field": P.boolean_field,
         "bit_filter": P.bit_filter,
         "range_filter": P.range_filter,
         # BM25 scoring + lookup join
@@ -499,6 +502,18 @@ UNION
 (SELECT doc_id FROM tok WHERE term = 'merge'
  INTERSECT SELECT doc_id FROM tok WHERE term = 'sort'
  INTERSECT SELECT doc_id FROM tok WHERE term = 'window')
+""",
+        # field-scoped keyword: the engine answers this from the
+        # 'lang\x01en' posting list; the oracle recomputes it from the
+        # metadata column the field keyword was derived from
+        "boolean_field": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents
+)
+SELECT doc_id FROM tok WHERE term = 'data'
+INTERSECT
+SELECT doc_id FROM documents WHERE lower(lang) = 'en'
 """,
         "bit_filter": f"""
 WITH {_TOK}, {_DL}, {_BITS}

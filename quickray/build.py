@@ -492,22 +492,40 @@ def build_index(
     tokenizer_batch_size: int = 4096,
     block_size: int = BLOCK_SIZE,
     fingerprint: str | None = None,
+    field_cols: list[str] | None = None,
 ) -> BuildResult:
     """Run (or resume) the full index build. Ray must be initialised by
     the caller (never calls ray.init itself). ``fingerprint`` overrides
     the source identity (callers that know a stronger content signature,
-    e.g. build_partitioned's per-partition data signature)."""
+    e.g. build_partitioned's per-partition data signature).
+
+    ``field_cols`` additionally indexes the named metadata columns as
+    field-scoped keywords (reference parity: Keyword{Field, Word},
+    demo/job/build_index.go:114-127; posting key field + "\\x01" +
+    lower(value), gen/document.go:5) — one tf=1 posting per doc per
+    field, queryable as Term(word, field=f). Must be a subset of the
+    docbase metadata columns (repo, path, commit, lang) so field-term
+    dfs are known without another content pass."""
     langs = langs or LANGS
+    field_cols = list(field_cols or [])
+    allowed_fields = {"repo", "path", "commit", "lang"}
+    if not set(field_cols) <= allowed_fields:
+        raise ValueError(
+            f"field_cols must be a subset of {sorted(allowed_fields)}; "
+            f"got {field_cols}"
+        )
     src = _Source(source)
     if fingerprint is not None:
         src.fingerprint = fingerprint
     # layout-critical params join the fingerprint: resuming a build dir
     # with a different shuffle/segment layout must invalidate, never
     # silently mix chunk bounds (the partials/segments on disk encode
-    # num_parts/num_shards/num_salts/block_size)
+    # num_parts/num_shards/num_salts/block_size; field_cols change the
+    # posting table's contents)
     layout = (
         f"|layout:parts={num_parts},shards={num_shards},salts={num_salts},"
         f"chunks={shuffle_chunks if durable_shuffle else 0},bs={block_size}"
+        f",fields={'+'.join(field_cols)}"
         ",dbv=2"  # docbase schema v2 (fused sampled-df rows)
     )
     man = Manifest(out_dir, src.fingerprint + layout)
@@ -628,7 +646,28 @@ def build_index(
             )
             .take_all()
         )
-        hot_terms = sorted(r["term"] for r in hot_rows)
+        hot_terms = [r["term"] for r in hot_rows]
+        # field-scoped terms' dfs are exact from docbase metadata (no
+        # content read): a field value held by more docs than the
+        # threshold (e.g. lang\x01en at df ~ N/5) must be salted like
+        # any hot term, or its level-1 merge group becomes exactly the
+        # skewed straggler salting exists to prevent
+        for f in field_cols:
+            frows = (
+                rd.read_parquet(
+                    docbase_dir, columns=[f, "kind"],
+                    filter=pads.field("kind") == 0,
+                )
+                .groupby(f)
+                .aggregate(Count(alias_name="fdf"))
+                .map_batches(
+                    lambda t: t.filter(np.asarray(t["fdf"]) > threshold),
+                    batch_format="pyarrow",
+                )
+                .take_all()
+            )
+            hot_terms.extend(f"{f}\x01{(r0[f] or '').lower()}" for r0 in frows)
+        hot_terms = sorted(set(hot_terms))
         stats = {
             "n_docs": n_docs,
             "total_tokens": total_tokens,
@@ -640,6 +679,7 @@ def build_index(
             "num_shards": num_shards,
             "block_size": block_size,
             "langs": langs,
+            "field_cols": field_cols,
         }
         with open(os.path.join(d, "stats.json"), "w") as f:
             json.dump(stats, f)
@@ -697,10 +737,12 @@ def build_index(
         "emit_runs": True,
         "num_parts": num_parts,
         "rank_ref": rank_ref,
+        "field_cols": field_cols,
     }
 
     def _runs_ds() -> "rd.Dataset":
         tok_cols = ["content"] + ([id_col] if not use_rank else ["repo", "path"])
+        tok_cols += [f for f in field_cols if f not in tok_cols]
         ds = src.read(tok_cols)
         if not use_rank and id_col != "doc_id":
             ds = ds.rename_columns({id_col: "doc_id"})

@@ -418,7 +418,7 @@ class LocalEngine:
             if node is None:
                 return np.empty(0, np.int64)
             if isinstance(node, Term):
-                return self._leaf(node.term, q)
+                return self._leaf(node.key, q)
             if not node.children:
                 return np.empty(0, np.int64)
             parts = [ev(c) for c in node.children]
@@ -443,7 +443,7 @@ class LocalEngine:
         """Upper-bound result-size estimate from segment dfs alone (no
         posting decode): Term -> df, Or -> sum, And -> min."""
         if isinstance(node, Term):
-            return self.index.df_of(node.term)
+            return self.index.df_of(node.key)
         if not node.children:
             return 0
         ests = [self._est_size(c) for c in node.children]
@@ -466,7 +466,7 @@ class LocalEngine:
 
     def _member_mask(self, node, docs: np.ndarray) -> np.ndarray:
         if isinstance(node, Term):
-            return self._member_pos(node.term, docs)[0]
+            return self._member_pos(node.key, docs)[0]
         if not node.children:
             return np.zeros(len(docs), dtype=bool)
         masks = (self._member_mask(c, docs) for c in node.children)
@@ -498,19 +498,19 @@ class LocalEngine:
         )
         pos_memo: dict[str, np.ndarray] = {}
         if isinstance(seed, Term) and len(out):
-            pos_memo[seed.term] = self._member_pos(seed.term, out)[1]
+            pos_memo[seed.key] = self._member_pos(seed.key, out)[1]
         for i in order[1:]:
             if len(out) == 0:
                 return out, {}
             c = node.children[i]
             if isinstance(c, Term):
-                mask, pos = self._member_pos(c.term, out)
-                pos_memo[c.term] = pos
+                mask, pos = self._member_pos(c.key, out)
+                pos_memo[c.key] = pos
             else:
                 mask = self._member_mask(c, out)
             out = out[mask]
             for t in list(pos_memo):
-                if t != (c.term if isinstance(c, Term) else None):
+                if t != (c.key if isinstance(c, Term) else None):
                     pos_memo[t] = pos_memo[t][mask]
         return out, pos_memo
 

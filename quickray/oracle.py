@@ -29,6 +29,7 @@ class Oracle:
         table: pa.Table,
         langs: list[str] | None = None,
         id_col: str | None = None,
+        field_cols: list[str] | None = None,
     ):
         self.langs = langs or LANGS
         repos = table["repo"].to_pylist()
@@ -49,6 +50,14 @@ class Oracle:
                 self.postings.setdefault(t, {})[i] = (
                     self.postings.get(t, {}).get(i, 0) + 1
                 )
+        # field-scoped keywords (Keyword{Field, lower(Word)},
+        # build_index.go:114-127; key = field + "\x01" + word,
+        # gen/document.go:5): one tf=1 posting per doc per field. They
+        # are NOT tokens — doc_len / avgdl / total_tokens stay
+        # content-only, matching the engine's stats phase.
+        for f in field_cols or []:
+            for i, v in zip(ids, table[f].to_pylist()):
+                self.postings.setdefault(f"{f}\x01{(v or '').lower()}", {})[i] = 1
         total = sum(self.doc_len.values())
         self.avgdl = total / max(1, self.n_docs)
         self.total_tokens = total
@@ -98,7 +107,7 @@ class Oracle:
             if node is None:
                 return set()
             if isinstance(node, Term):
-                docs = self.postings.get(node.term, {})
+                docs = self.postings.get(node.key, {})
                 return {d for d in docs if self._passes_flags(d, q)}
             if not node.children:
                 return set()

@@ -81,7 +81,13 @@ def docs_engine(sf_dir: str) -> LocalEngine:
     ).hexdigest()[:12]
     out = os.path.join(CACHE_ROOT, f"docsidx_{tag}")
     corpus = documents_as_corpus(sf_dir)
-    build_index(corpus, out, id_col="doc_id", langs=DOC_LANGS, num_salts=4)
+    # lang is additionally indexed as a field-scoped keyword
+    # (Term(word, field="lang") — the reference's author-field parity,
+    # keyword_author.go:16-54); content-term postings are unaffected
+    build_index(
+        corpus, out, id_col="doc_id", langs=DOC_LANGS, num_salts=4,
+        field_cols=["lang"],
+    )
     return LocalEngine(Index(out))
 
 
@@ -181,6 +187,18 @@ def boolean_compound(sf_dir: str) -> pa.Table:
             )
         )
     )
+    return _ids_table(eng.candidates(q))
+
+
+def boolean_field(sf_dir: str) -> pa.Table:
+    """Field-scoped recall (the author-recaller parity,
+    /root/reference/demo/job/search/recaller/keyword_author.go:16-54,
+    key format /root/reference/gen/document.go:5): docs whose indexed
+    `lang` FIELD keyword is 'en' AND whose content contains 'data' —
+    the field predicate resolves through the posting table (key
+    'lang\\x01en'), not a metadata scan."""
+    eng = docs_engine(sf_dir)
+    q = Query(tree=And((Term("en", field="lang"), Term("data"))))
     return _ids_table(eng.candidates(q))
 
 

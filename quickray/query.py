@@ -15,7 +15,19 @@ Tree = Union["Term", "And", "Or"]
 
 @dataclass(frozen=True)
 class Term:
+    """A single keyword, optionally scoped to a field — the reference's
+    Keyword{Field, Word} (api/document.proto:7-10). The posting-table
+    key is Field + "\\x01" + Word (gen/document.go:3-9); an unscoped
+    term's key is the word itself (our content field, the common case).
+    "\\x01" cannot appear in a content token ([a-z0-9_]+), so field
+    keys can never collide with content terms."""
+
     term: str
+    field: str = ""
+
+    @property
+    def key(self) -> str:
+        return f"{self.field}\x01{self.term}" if self.field else self.term
 
 
 @dataclass(frozen=True)
@@ -50,7 +62,10 @@ class Query:
 
 def tree_to_json(t: Tree) -> dict:
     if isinstance(t, Term):
-        return {"term": t.term}
+        out = {"term": t.term}
+        if t.field:
+            out["field"] = t.field
+        return out
     if isinstance(t, And):
         return {"and": [tree_to_json(c) for c in t.children]}
     return {"or": [tree_to_json(c) for c in t.children]}
@@ -58,7 +73,9 @@ def tree_to_json(t: Tree) -> dict:
 
 def tree_from_json(obj: dict) -> Tree | None:
     if "term" in obj:
-        return Term(obj["term"]) if obj["term"] else None
+        if not obj["term"]:
+            return None
+        return Term(obj["term"], field=obj.get("field", ""))
     key = "and" if "and" in obj else "or"
     children = tuple(
         c for c in (tree_from_json(x) for x in obj[key]) if c is not None
@@ -78,15 +95,16 @@ def query_from_json(obj: dict) -> Query:
 
 
 def collect_terms(t: Tree | None) -> list[str]:
-    """Unique terms of a tree, ascending — the fixed BM25 summation
-    order shared by engine and oracle."""
+    """Unique posting-table KEYS of a tree (field-scoped terms as
+    field\\x01word), ascending — the fixed BM25 summation order shared
+    by engine and oracle."""
     out: set[str] = set()
 
     def walk(n: Tree | None) -> None:
         if n is None:
             return
         if isinstance(n, Term):
-            out.add(n.term)
+            out.add(n.key)
         else:
             for c in n.children:
                 walk(c)
@@ -97,9 +115,10 @@ def collect_terms(t: Tree | None) -> list[str]:
 
 def flat_or_terms(t: Tree | None) -> list[str] | None:
     """If the tree is a single term or an Or of plain terms, return the
-    term list (the shape block-max pruning applies to); else None."""
+    posting-key list (the shape block-max pruning applies to); else
+    None."""
     if isinstance(t, Term):
-        return [t.term]
+        return [t.key]
     if isinstance(t, Or) and all(isinstance(c, Term) for c in t.children):
-        return [c.term for c in t.children]
+        return [c.key for c in t.children]
     return None

@@ -20,13 +20,21 @@ def _spectrum(df) -> dict[str, list[str]]:
     sorted with Arrow kernels so no whole-vocabulary Python dict is
     ever materialized; only the bounded pools become Python strings).
     Both paths order by (-df, term), so identical df contents give
-    identical pools."""
+    identical pools. Field-scoped keys (field\\x01word, present when an
+    index was built with field_cols) are EXCLUDED: the reference query
+    set is a pure function of the content-term df spectrum, so an
+    engine-side df table with extra field postings must yield the same
+    queries as the oracle's content-only df."""
     import pyarrow as pa
 
     if isinstance(df, pa.Table):
         import numpy as np
         import pyarrow.compute as pc
 
+        if df.num_rows:
+            df = df.filter(
+                pc.invert(pc.match_substring(df["term"], "\x01"))
+            )
         n = df.num_rows
         order = np.asarray(
             pc.sort_indices(
@@ -50,7 +58,9 @@ def _spectrum(df) -> dict[str, list[str]]:
             take(rare_pos) if len(rare_pos) else take(range(max(0, n - 12), n))
         )
         return {"hot": hot, "mid": mid, "rare": rare}
-    by_hot = sorted(df, key=lambda t: (-df[t], t))
+    by_hot = sorted(
+        (t for t in df if "\x01" not in t), key=lambda t: (-df[t], t)
+    )
     n = len(by_hot)
     hot = by_hot[: max(3, n // 100)]
     mid = by_hot[n // 3 : n // 3 + max(6, n // 50)]

@@ -55,12 +55,19 @@ def keyword_recaller(eng: LocalEngine, ctx: SearchContext) -> np.ndarray:
     return eng.candidates(ctx.query(Or(tuple(Term(k) for k in ctx.keywords))))
 
 
-def make_term_recaller(field_term: str) -> Recaller:
-    """Single-term recall strategy (keyword_author.go analog: recall by
-    a dedicated field term, e.g. a lang:<x>-style category term)."""
+def make_term_recaller(word: str, field: str = "") -> Recaller:
+    """Single-term recall strategy. With ``field`` set this is the
+    author-recaller port (keyword_author.go:16-54): recall by a
+    dedicated field keyword whose posting key is field + "\\x01" +
+    lower(word) (gen/document.go:5) — requires the index to have been
+    built with that column in ``field_cols``. The word is cleaned
+    exactly like the handler cleans user keywords (M4)."""
 
     def recall(eng: LocalEngine, ctx: SearchContext) -> np.ndarray:
-        return eng.candidates(ctx.query(Term(field_term)))
+        w = word.strip().lower()
+        if not w:
+            return np.empty(0, np.int64)
+        return eng.candidates(ctx.query(Term(w, field=field)))
 
     return recall
 

@@ -236,6 +236,7 @@ class Tokenizer:
         emit_runs: bool = False,
         num_parts: int = 64,
         rank_ref=None,
+        field_cols: list[str] | None = None,
     ) -> None:
         import ray
 
@@ -262,12 +263,40 @@ class Tokenizer:
         self.langs = langs or []
         self.emit_runs = emit_runs
         self.num_parts = max(1, num_parts)
+        self.field_cols = list(field_cols or [])
 
     def _doc_id_col(self, batch: pa.Table) -> pa.Array:
         if "doc_id" in batch.column_names:
             col = batch["doc_id"]
             return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         return rank_lookup(batch, self.ranked_keys, self.ranked_np)
+
+    def _field_rows(self, batch: pa.Table, row_ids: pa.Array) -> list[pa.Table]:
+        """Field-scoped keyword rows: one (field\\x01lower(value),
+        doc_id, tf=1) posting per doc per indexed field — the
+        reference's Keyword{Field, Word} (build_index.go:114-127; key
+        format gen/document.go:5). Field keys contain '\\x01' so they
+        can never collide with content tokens ([a-z0-9_]+)."""
+        n = batch.num_rows
+        out = []
+        for f in self.field_cols:
+            col = batch[f]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = pc.utf8_lower(pc.fill_null(col.cast(pa.string()), ""))
+            terms = pc.binary_join_element_wise(
+                pa.array([f] * n, pa.string()), vals, "\x01"
+            )
+            out.append(
+                pa.table(
+                    {
+                        "term": terms,
+                        "doc_id": row_ids,
+                        "count_all": pa.array(np.ones(n, np.int64)),
+                    }
+                )
+            )
+        return out
 
     def _grouped(self, batch: pa.Table):
         """(term, doc_id) -> tf within the batch."""
@@ -281,6 +310,11 @@ class Tokenizer:
             .group_by(["term", "doc_id"])
             .aggregate([([], "count_all")])
         )
+        if self.field_cols:
+            grouped = pa.concat_tables(
+                [grouped.select(["term", "doc_id", "count_all"])]
+                + self._field_rows(batch, row_ids)
+            )
         return grouped, np.asarray(grouped["doc_id"], dtype=np.int64), row_ids
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -208,10 +208,12 @@ def test_posting_contrib_memoized_and_global_bypass():
     assert not np.allclose(c1, c_global)
 
 
-def test_connected_components(ray_session):
-    """Min-label propagation finds components for chains, triangles,
-    pairs, and a diameter-3 chain; empty edge sets yield an empty,
-    correctly-typed table."""
+@pytest.mark.parametrize("thresh", [1_000_000, 0])
+def test_connected_components(ray_session, thresh):
+    """Both CC paths (driver union-find / distributed min-label
+    propagation) find components for chains, triangles, pairs, and a
+    diameter-3 chain; empty edge sets yield an empty, correctly-typed
+    table."""
     import ray.data as rd
     from quickray.extras.dedup import connected_components
 
@@ -221,7 +223,9 @@ def test_connected_components(ray_session):
             "b": pa.array([1, 2, 11, 12, 12, 21, 31, 32, 33], pa.int64()),
         }
     )
-    got = connected_components(rd.from_arrow(pairs)).to_pandas()
+    got = connected_components(
+        rd.from_arrow(pairs), driver_threshold=thresh
+    ).to_pandas()
     got = got.sort_values("doc_id").reset_index(drop=True)
     assert got["doc_id"].tolist() == [0, 1, 2, 10, 11, 12, 20, 21, 30, 31, 32, 33]
     assert got["cluster_id"].tolist() == [0, 0, 0, 10, 10, 10, 20, 20, 30, 30, 30, 30]
@@ -255,8 +259,10 @@ def test_join_ready_drops_empty_blocks(ray_session):
 
 
 def test_connected_components_random_vs_union_find(ray_session):
-    """Distributed min-label propagation equals a reference union-find
-    on random graphs (mixed component shapes, permuted ids)."""
+    """The DISTRIBUTED min-label propagation path (driver_threshold=0)
+    equals a reference union-find on random graphs (mixed component
+    shapes, permuted ids) — the driver fast path is itself union-find,
+    so this pins the propagation semantics."""
     import ray.data as rd
     from quickray.extras.dedup import connected_components
 
@@ -291,7 +297,8 @@ def test_connected_components_random_vs_union_find(ray_session):
 
         got = (
             connected_components(
-                rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+                rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)})),
+                driver_threshold=0,
             )
             .to_pandas()
             .set_index("doc_id")["cluster_id"]

@@ -1,0 +1,137 @@
+"""Field-scoped term parity (the reference's multi-field indexing):
+Keyword{Field, Word} postings keyed field + "\x01" + lower(word)
+(demo/job/build_index.go:114-127, gen/document.go:5), queried via
+Term(word, field=f) and recalled by the author-recaller port
+(demo/job/search/recaller/keyword_author.go:16-54)."""
+
+import numpy as np
+import pytest
+
+from quickray.engine import Index, LocalEngine
+from quickray.oracle import Oracle
+from quickray.query import And, Or, Query, Term
+
+FIELDS = ["lang", "repo"]
+
+
+@pytest.fixture(scope="module")
+def field_corpus():
+    from quickray.corpus import generate_corpus
+
+    return generate_corpus(400, seed=11)
+
+
+@pytest.fixture(scope="module")
+def field_index(field_corpus, tmp_path_factory, ray_session):
+    """Build with lang+repo indexed as fields; hot_df low enough that
+    the lang field keywords (df ~ n/len(langs)) are HOT — the salted
+    path is exercised for field postings too."""
+    from quickray.build import build_index
+
+    out = str(tmp_path_factory.mktemp("fieldidx") / "build")
+    build_index(
+        field_corpus, out, hot_df=50, num_salts=4, field_cols=FIELDS
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def field_oracle(field_corpus):
+    return Oracle(field_corpus, field_cols=FIELDS)
+
+
+@pytest.fixture(scope="module")
+def field_engine(field_index):
+    return LocalEngine(Index(field_index))
+
+
+def _vals(corpus, col):
+    return sorted({(v or "").lower() for v in corpus[col].to_pylist()})
+
+
+def test_field_keys_indexed_and_hot(field_index, field_corpus):
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(field_index, "stats", "stats.json")) as f:
+        stats = json.load(f)
+    assert stats["field_cols"] == FIELDS
+    terms = set(
+        pq.read_table(
+            os.path.join(field_index, "segments"), columns=["term"]
+        )["term"].to_pylist()
+    )
+    for lang in _vals(field_corpus, "lang"):
+        assert f"lang\x01{lang}" in terms
+    # lang field keywords exceed hot_df=50 -> must be in the hot set
+    # (salted shuffle path); content terms are untouched by fields
+    hot_field = [t for t in stats["hot_terms"] if t.startswith("lang\x01")]
+    assert hot_field, stats["hot_terms"][:10]
+
+
+def test_field_recall_matches_metadata(field_engine, field_corpus, field_oracle):
+    """Term(word, field='lang') resolves through the posting table and
+    equals a metadata scan for every lang value."""
+    for lang in _vals(field_corpus, "lang"):
+        q = Query(tree=Term(lang, field="lang"), k=10**9)
+        got = field_engine.candidates(q).tolist()
+        assert got == field_oracle.candidates(q), lang
+
+
+@pytest.mark.parametrize("shape", ["and", "or", "flags", "field_only_or"])
+def test_field_query_rank_identity(
+    shape, field_engine, field_oracle, field_corpus
+):
+    """Mixed field/content queries: engine top-k (doc_id, score) equals
+    the brute-force oracle exactly — field postings score as ordinary
+    BM25 terms (tf=1, df = docs holding the value, dl = content |d|)."""
+    langs = _vals(field_corpus, "lang")
+    repos = _vals(field_corpus, "repo")
+    if shape == "and":
+        tree = And((Term(langs[0], field="lang"), Term("func")))
+    elif shape == "or":
+        tree = Or((Term(repos[0], field="repo"), Term("return")))
+    elif shape == "flags":
+        tree = And((Term(langs[-1], field="lang"), Term("import")))
+    else:
+        tree = Or(tuple(Term(v, field="lang") for v in langs[:3]))
+    q = Query(tree=tree, k=25, off_flag=(1 << 8) if shape == "flags" else 0)
+    ids, sc = field_engine.search(q)
+    want = field_oracle.search(q)
+    assert ids.tolist() == [d for d, _ in want], shape
+    assert np.allclose(sc, [s for _, s in want], rtol=1e-9, atol=1e-12)
+
+
+def test_author_recaller_port(field_engine, field_corpus):
+    """Searcher with a field recaller (keyword_author.go:16-54): the
+    merged candidate union covers both strategies' sets."""
+    from quickray.recall import SearchContext, Searcher, make_term_recaller
+
+    lang = _vals(field_corpus, "lang")[0]
+    ctx = SearchContext(["func"])
+    by_field = make_term_recaller(f"  {lang.upper()} ", field="lang")
+    got_field = by_field(field_engine, ctx)  # M4 cleaning applied
+    assert got_field.tolist() == field_engine.candidates(
+        Query(tree=Term(lang, field="lang"), k=10**9)
+    ).tolist()
+    s = Searcher([by_field])
+    ids, _ = s.search(field_engine, ctx, k=10**6)
+    # scored set: docs from field recall that also match the keyword OR
+    kw = set(
+        field_engine.candidates(Query(tree=Term("func"), k=10**9)).tolist()
+    )
+    assert set(ids.tolist()) == (set(got_field.tolist()) & kw)
+
+
+def test_field_query_json_roundtrip():
+    from quickray.query import query_from_json
+
+    q = Query(
+        tree=And((Term("en", field="lang"), Term("data"))), k=7, on_flag=2
+    )
+    q2 = query_from_json(q.to_json())
+    assert q2.tree == q.tree
+    assert q2.tree.children[0].key == "lang\x01en"
+    assert q2.k == 7 and q2.on_flag == 2
