@@ -328,8 +328,14 @@ def _ref_queries_sql(flat_or_only: bool) -> str:
             )
             cand_name = f"candf_{qid}"
         ctes.append(
+            # list(… ORDER BY term) + list_sum pins the per-doc float
+            # accumulation to ascending-term order — exactly how the
+            # engine sums (collect_terms order) — so the score is
+            # bit-identical BEFORE rounding; a bare sum(a.c) would
+            # leave DuckDB's accumulation order unspecified and lean on
+            # round(,4) alone, which has a latent .5-boundary flake
             f"""scored_{qid} AS (
-  SELECT a.doc_id, sum(a.c) AS score
+  SELECT a.doc_id, list_sum(list(a.c ORDER BY a.term)) AS score
   FROM allcontrib a
   WHERE a.term IN ({qterms})
     AND a.doc_id IN (SELECT doc_id FROM {cand_name})

@@ -308,7 +308,9 @@ class _Source:
             # are hashed through memoryview slices of the value buffer
             # (no per-row f-strings / int.from_bytes / column to_pylist);
             # digest words accumulate via numpy 32-bit-split sums (exact,
-            # overflow-free), preserving the identical signature value
+            # overflow-free). Null repo/path/content hash as '' (the
+            # fill_null below) — the defined signature semantics for
+            # null-key corpora
             import pyarrow.compute as pc
 
             cols = []

@@ -274,7 +274,12 @@ class Index:
                     # \x00-padded, order-preserving) — one flat numpy
                     # buffer, never n_docs Python string objects per
                     # worker (the r02 scale finding); hydrate() decodes
-                    # only the bounded top-k gather
+                    # only the bounded top-k gather. Nulls hydrate as ''
+                    # (numpy 'S' cannot hold None); a legitimate
+                    # trailing \x00 byte would be stripped on decode,
+                    # but docmeta strings never contain \x00 (it is the
+                    # key separator) — that contract is what makes the
+                    # fixed-width encoding lossless here
                     from quickray.tokenize import _fixed_bytes
 
                     v = (
@@ -282,6 +287,8 @@ class Index:
                         if isinstance(vals, pa.ChunkedArray)
                         else vals
                     )
+                    if v.null_count:
+                        v = pc.fill_null(v, "")
                     width = max(
                         1, int(pc.max(pc.binary_length(v)).as_py() or 1)
                     )

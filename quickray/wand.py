@@ -33,6 +33,7 @@ score), while extra docs dragged in from pruned ranges score partial
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 from quickray.query import Query
 from quickray.scoring import flags_mask
@@ -102,7 +103,18 @@ def block_max_topk(engine, terms: list[str], q: Query):
                         p, p.df, index.n_docs, index.avgdl, True
                     )
             if has_flags:
-                bits = index.docmeta_arrays(("bits",))["bits"]
+                try:
+                    bits = index.docmeta_arrays(("bits",))["bits"]
+                except (OSError, KeyError, pa.ArrowInvalid):
+                    # builds predating the docmeta bits column (Index
+                    # preload tolerates them the same way): bits are
+                    # doc-level and replicated into every posting, so
+                    # the slice this query needs reconstructs from the
+                    # postings at hand — docs outside every posting
+                    # score 0 and never reach the top-k anyway
+                    bits = np.zeros(index.n_docs, dtype=np.int64)
+                    for p in ps:
+                        bits[p.doc_ids] = p.bits
                 ok = flags_mask(bits, q.on_flag, q.off_flag, q.or_flags)
                 scores_d[~ok] = 0.0
             return _dense_topk(scores_d, k)

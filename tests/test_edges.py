@@ -307,6 +307,58 @@ def test_connected_components_random_vs_union_find(ray_session):
         assert got == want, seed
 
 
+def test_docmeta_hydrate_null_string_column(ray_session, tmp_path):
+    """A nullable docmeta string column (e.g. commit) hydrates as ''
+    instead of raising at serving time (numpy 'S' arrays cannot hold
+    None; keys remain non-null by contract)."""
+    tbl = pa.table(
+        {
+            "repo": pa.array(["r", "r"]),
+            "path": pa.array(["a.go", "b.go"]),
+            "commit": pa.array([None, "c2"], pa.string()),
+            "lang": pa.array(["go", "go"]),
+            "content": pa.array(["alpha beta", "alpha gamma"]),
+        }
+    )
+    out = str(tmp_path / "idx")
+    build_index(tbl, out)
+    ix = Index(out)
+    got = ix.hydrate(np.array([0, 1]), ("commit",))
+    assert got["commit"].tolist() == ["", "c2"]
+
+
+def test_dense_flag_eval_without_bits_column(ray_session, tmp_path):
+    """A flagged flat-OR query on the dense path must fall back to
+    per-posting bits when the docmeta bits column is absent (older
+    builds) — same results as with the column present."""
+    import glob
+    import pyarrow.parquet as pq
+
+    n = 64
+    tbl = pa.table(
+        {
+            "repo": pa.array(["r"] * n),
+            "path": pa.array([f"f{i:03d}.go" for i in range(n)]),
+            "commit": pa.array(["c"] * n),
+            "lang": pa.array(["go" if i % 2 else "py" for i in range(n)]),
+            "content": pa.array(
+                [f"shared term w{i % 7} extra" for i in range(n)]
+            ),
+        }
+    )
+    out = str(tmp_path / "idx")
+    build_index(tbl, out, langs=["go", "py"])
+    q = Query(tree=Or((Term("shared"), Term("term"))), on_flag=1, k=10)
+    want_ids, want_sc = LocalEngine(Index(out)).search(q)
+    # strip the bits column from docmeta (an older build's layout)
+    for f in glob.glob(f"{out}/docmeta/**/*.parquet", recursive=True):
+        t = pq.read_table(f)
+        pq.write_table(t.drop_columns(["bits"]), f)
+    got_ids, got_sc = LocalEngine(Index(out)).search(q)
+    assert got_ids.tolist() == want_ids.tolist()
+    assert np.allclose(got_sc, want_sc, rtol=1e-12)
+
+
 def test_lsh_bucket_cap_star_pairs():
     """Oversize LSH buckets emit O(m) star pairs (min-id hub), not
     O(m^2) — the degenerate-bucket defense; under the cap the full
