@@ -95,74 +95,95 @@ class _LiveDf:
         return df
 
 
+def _tomb_ids_for(ix: Index, tomb_keys: set[bytes]) -> np.ndarray:
+    """doc_ids of ``ix`` whose 'repo\\x01path' key is tombstoned —
+    fixed-width byte compare, no per-doc Python objects."""
+    if not tomb_keys:
+        return np.empty(0, np.int64)
+    keys = ix.keys_by_id()  # dense 'S{w}' array
+    w = keys.dtype.itemsize
+    # a tomb key longer than this partition's key width cannot match
+    cand = sorted(k for k in tomb_keys if len(k) <= w)
+    if not cand:
+        return np.empty(0, np.int64)
+    tomb_arr = np.array(cand, dtype=f"S{w}")
+    return np.flatnonzero(np.isin(keys, tomb_arr)).astype(np.int64)
+
+
 class DeltaEngine:
-    """Serve (main ∪ delta) − tombstones with rebuild-identical scores.
+    """Serve (main ∪ deltas) − tombstones with rebuild-identical scores.
 
     Parameters
     ----------
     main_dirs : built index dirs (one, or build_partitioned's parts)
-    delta_dir : optional index dir built over the added/updated docs
+    delta_dir : one index dir, or an ORDERED list of index dirs, built
+        over added/updated doc batches
     deleted_keys : iterable of 'repo\\x01path' keys removed from the
-        corpus. Keys present in the delta corpus are tombstoned in the
-        main index automatically (the delta version wins); deleted_keys
-        therefore only needs the true deletions.
+        corpus; deletions apply last (after every delta batch).
+
+    Ordering contract for conflicting batches (the reference's AddDoc
+    upsert is delete-then-insert under an atomic counter, so the last
+    write wins, index_service/indexer.go:70-97): delta batches apply in
+    LIST ORDER after main, and a key occurring in a later batch
+    supersedes — tombstones — every earlier occurrence of that key, in
+    main and in earlier deltas alike. deleted_keys only needs the true
+    deletions; add/update supersession is automatic.
     """
 
     def __init__(
         self,
         main_dirs: list[str],
-        delta_dir: str | None = None,
+        delta_dir: str | list[str] | None = None,
         deleted_keys=(),
     ):
+        delta_dirs = (
+            []
+            if not delta_dir
+            else [delta_dir] if isinstance(delta_dir, str) else list(delta_dir)
+        )
         self._main = [Index(d) for d in main_dirs]
-        self._delta = Index(delta_dir) if delta_dir else None
+        self._deltas = [Index(d) for d in delta_dirs]
         # tombstone keys as BYTES (matching the fixed-width key probes);
-        # bounded: deletions + the delta corpus, small by design
-        tomb_keys = {
+        # bounded: deletions + the delta corpora, small by design
+        del_keys = {
             k.encode() if isinstance(k, str) else bytes(k)
             for k in deleted_keys
         }
-        if self._delta is not None:
-            tomb_keys |= set(self._delta.keys_by_id().tolist())
+        delta_keys = [set(ix.keys_by_id().tolist()) for ix in self._deltas]
+
+        # per-index shadow sets: main is shadowed by every delta batch +
+        # deletions; delta batch i only by LATER batches + deletions
+        main_shadow = set(del_keys)
+        for ks in delta_keys:
+            main_shadow |= ks
+        shadows = [main_shadow] * len(self._main)
+        for i in range(len(self._deltas)):
+            s = set(del_keys)
+            for ks in delta_keys[i + 1 :]:
+                s |= ks
+            shadows.append(s)
+
         masked: list[_MaskedIndex] = []
         n_tomb = 0
         tomb_tokens = 0
-        for ix in self._main:
-            keys = ix.keys_by_id()  # dense 'S{w}' array — no PyObjects
-            if tomb_keys:
-                w = keys.dtype.itemsize
-                # a tomb key longer than this partition's key width
-                # cannot match any of its keys
-                cand = sorted(k for k in tomb_keys if len(k) <= w)
-                tomb_arr = np.array(cand, dtype=f"S{w}")
-                tomb_ids = np.flatnonzero(
-                    np.isin(keys, tomb_arr)
-                ).astype(np.int64)
-            else:
-                tomb_ids = np.empty(0, np.int64)
+        for ix, shadow in zip(self._main + self._deltas, shadows):
+            tomb_ids = _tomb_ids_for(ix, shadow)
             n_tomb += len(tomb_ids)
             if len(tomb_ids):
                 dl = ix.docmeta_arrays(("doc_len",))["doc_len"]
                 tomb_tokens += int(dl[tomb_ids].sum())
             masked.append(_MaskedIndex(ix, tomb_ids))
-        parts: list[_MaskedIndex | Index] = list(masked)
-        if self._delta is not None:
-            parts.append(self._delta)
-        n_live = sum(ix.n_docs for ix in self._main) - n_tomb
+        parts: list[_MaskedIndex] = masked
+        n_live = sum(ix.n_docs for ix in self._main + self._deltas) - n_tomb
         tokens_live = (
-            sum(ix.stats["total_tokens"] for ix in self._main) - tomb_tokens
+            sum(ix.stats["total_tokens"] for ix in self._main + self._deltas)
+            - tomb_tokens
         )
-        if self._delta is not None:
-            n_live += self._delta.n_docs
-            tokens_live += self._delta.stats["total_tokens"]
         self.n_docs = n_live
         self.avgdl = tokens_live / max(1, n_live)
         g = {"n_docs": n_live, "avgdl": self.avgdl, "df": _LiveDf(parts)}
         self.engines = [LocalEngine(ix, global_stats=g) for ix in parts]
-        self._part_keys = [
-            ix._ix.keys_by_id() if isinstance(ix, _MaskedIndex) else ix.keys_by_id()
-            for ix in parts
-        ]
+        self._part_keys = [ix._ix.keys_by_id() for ix in parts]
 
     def search(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (keys, scores) over the live corpus. Every global

@@ -177,6 +177,91 @@ def test_pure_delete_no_delta(tmp_path, ray_session):
         assert not set(eng.candidates(q)) & set(del_keys)
 
 
+def test_conflicting_same_key_batches_last_wins(tmp_path, ray_session):
+    """Ordering contract for two delta batches touching the SAME key
+    (indexer.go:70-97 upsert = delete-then-insert, last write wins):
+    batch 2's version of a key supersedes batch 1's AND main's; a key
+    added in batch 1 and rewritten in batch 2 serves batch 2's content.
+    Verified by (key, score) identity with a from-scratch rebuild of
+    the final corpus, plus a no-stale-version candidates check."""
+    base = generate_corpus(160, seed=21)
+    queries = _flag_free(make_query_set(Oracle(base).df()))[:10]
+
+    # batch 1: update rows 3, 10 (v1) and add two brand-new docs
+    upd_rows = [3, 10]
+    v1_updates = _update_content(
+        base.take(np.asarray(upd_rows, np.int64)), range(len(upd_rows))
+    )
+    added = _retag(generate_corpus(6, seed=22), "delta")
+    batch1 = pa.concat_tables([v1_updates, added])
+
+    # batch 2: update row 3 AGAIN (v2 — supersedes batch 1's v1) and
+    # rewrite one of batch 1's additions
+    v2_updates = _update_content(
+        _update_content(base.take(np.asarray([3], np.int64)), [0]), [0]
+    )
+    readd = _update_content(added.take(np.asarray([0], np.int64)), [0])
+    batch2 = pa.concat_tables([v2_updates, readd])
+
+    main_dir = str(tmp_path / "main")
+    build_index(base, main_dir, num_salts=1, num_shards=8, num_parts=8)
+    d1 = str(tmp_path / "d1")
+    d2 = str(tmp_path / "d2")
+    build_index(batch1, d1, num_salts=1, num_shards=8, num_parts=8)
+    build_index(batch2, d2, num_salts=1, num_shards=8, num_parts=8)
+
+    eng = DeltaEngine([main_dir], delta_dir=[d1, d2])
+
+    def keys_of(tbl):
+        return pc.binary_join_element_wise(
+            tbl["repo"].combine_chunks(), tbl["path"].combine_chunks(), "\x01"
+        )
+
+    b2_keys = set(keys_of(batch2).to_pylist())
+    b1_keys = set(keys_of(batch1).to_pylist())
+    live_main = base.filter(
+        pc.invert(pc.is_in(
+            keys_of(base),
+            value_set=pa.array(sorted(b1_keys | b2_keys), pa.string()),
+        ))
+    )
+    live_b1 = batch1.filter(
+        pc.invert(pc.is_in(
+            keys_of(batch1), value_set=pa.array(sorted(b2_keys), pa.string())
+        ))
+    )
+    final = pa.concat_tables([live_main, live_b1, batch2])
+    exp = _rebuild_search(final, str(tmp_path / "rb"), queries)
+    for q in queries:
+        k, s = eng.search(q)
+        _assert_same(f"lastwins:{q.id}", k, s, *exp[q.id])
+
+    # the v2-only marker tokens: batch-2 content contains the refreshed
+    # suffix twice; only the v2 version of key row-3 may be served
+    from quickray.query import Query, Term
+
+    tq = Query(tree=Term("refreshed"), k=10**9)
+    got = set(eng.candidates(tq))
+    want_rb = set(
+        LocalEngine(Index(str(tmp_path / "rb"))).candidates(tq).tolist()
+    )
+    rb_keys = Index(str(tmp_path / "rb")).keys_by_id()
+    assert got == {rb_keys[i].decode() for i in want_rb}
+
+    # swapping batch order changes which version wins
+    eng_rev = DeltaEngine([main_dir], delta_dir=[d2, d1])
+    live_b2 = batch2.filter(
+        pc.invert(pc.is_in(
+            keys_of(batch2), value_set=pa.array(sorted(b1_keys), pa.string())
+        ))
+    )
+    final_rev = pa.concat_tables([live_main, live_b2, batch1])
+    exp_rev = _rebuild_search(final_rev, str(tmp_path / "rb_rev"), queries)
+    for q in queries:
+        k, s = eng_rev.search(q)
+        _assert_same(f"revorder:{q.id}", k, s, *exp_rev[q.id])
+
+
 def test_delta_over_partitioned_main(tmp_path, ray_session):
     """DeltaEngine over build_partitioned's key-range parts: tombstones
     landing in different partitions + a delta build, compared against a
