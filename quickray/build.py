@@ -516,6 +516,10 @@ def build_index(
             f"field_cols must be a subset of {sorted(allowed_fields)}; "
             f"got {field_cols}"
         )
+    if len(set(field_cols)) != len(field_cols):
+        # a duplicated field would emit two tf=1 rows per (term, doc),
+        # breaking the strictly-increasing posting invariant
+        raise ValueError(f"field_cols contains duplicates: {field_cols}")
     src = _Source(source)
     if fingerprint is not None:
         src.fingerprint = fingerprint
@@ -655,12 +659,27 @@ def build_index(
         # any hot term, or its level-1 merge group becomes exactly the
         # skewed straggler salting exists to prevent
         for f in field_cols:
+
+            def _low(t: pa.Table, f=f) -> pa.Table:
+                # group by the POSTING KEY's word (lowercased,
+                # null -> ''), not the raw value: 'EN' and 'en' map to
+                # the same lang\x01en posting, so their dfs must sum
+                # before the threshold test
+                import pyarrow.compute as pc
+
+                c = t[f]
+                if isinstance(c, pa.ChunkedArray):
+                    c = c.combine_chunks()
+                low = pc.utf8_lower(pc.fill_null(c.cast(pa.string()), ""))
+                return pa.table({"w": low})
+
             frows = (
                 rd.read_parquet(
                     docbase_dir, columns=[f, "kind"],
                     filter=pads.field("kind") == 0,
                 )
-                .groupby(f)
+                .map_batches(_low, batch_format="pyarrow")
+                .groupby("w")
                 .aggregate(Count(alias_name="fdf"))
                 .map_batches(
                     lambda t: t.filter(np.asarray(t["fdf"]) > threshold),
@@ -668,7 +687,7 @@ def build_index(
                 )
                 .take_all()
             )
-            hot_terms.extend(f"{f}\x01{(r0[f] or '').lower()}" for r0 in frows)
+            hot_terms.extend(f"{f}\x01{r0['w']}" for r0 in frows)
         hot_terms = sorted(set(hot_terms))
         stats = {
             "n_docs": n_docs,

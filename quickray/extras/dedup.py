@@ -30,10 +30,11 @@ from quickray.tokenize import flatten_tokens
 _MERSENNE = (1 << 61) - 1
 # LSH band-bucket size cap: a degenerate bucket (boilerplate / empty /
 # identical docs sharing a band key) would otherwise enumerate O(m^2)
-# pairs. Above the cap the bucket emits STAR pairs to its min doc_id —
-# O(m) edges that preserve connectivity (the clustering/dedup consumer)
-# while dropping only redundant intra-bucket edges. Sized so the
-# oracle-checked fixtures (<= a few thousand docs) never hit it.
+# pairs. Above the cap the bucket is SUB-GROUPED by full-signature
+# digest (identical-signature docs = near-certain dups get star pairs
+# to their sub-group min; distinct signatures pair rep-to-rep) — see
+# _pairs_from_ids. Sized so the oracle-checked fixtures (<= a few
+# thousand docs) never hit it.
 _BUCKET_CAP = 512
 # polynomial-combine multipliers (odd => bijective mod 2^64)
 _SH_MULT = np.uint64(0x100000001B3)  # FNV-1a prime
@@ -182,6 +183,17 @@ class MinHasher:
             acc = acc * _BAND_MULT + u[:, :, j]
         return (acc >> np.uint64(1)).astype(np.int64)
 
+    def _sig_digest(self, sig: np.ndarray) -> np.ndarray:
+        """One int64 digest of the FULL signature per doc — two docs
+        with equal digests are (whp) signature-identical, i.e.
+        near-certain duplicates. Used to sub-group oversize LSH buckets
+        (see _pairs_from_ids)."""
+        u = sig.view(np.uint64)
+        acc = u[:, 0].copy()
+        for j in range(1, self.num_perm):
+            acc = acc * _BAND_MULT + u[:, j]
+        return (acc >> np.uint64(1)).astype(np.int64)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc, sh, _ = _batch_shingles(batch, self.k)
         if len(doc) == 0:
@@ -190,10 +202,12 @@ class MinHasher:
                     "doc_id": pa.array([], pa.int64()),
                     "band": pa.array([], pa.int64()),
                     "band_key": pa.array([], pa.int64()),
+                    "sig_digest": pa.array([], pa.int64()),
                 }
             )
         present, sig = self._signatures(doc, sh)
         keys = self._band_keys(sig)
+        digest = self._sig_digest(sig)
         ids = np.asarray(batch["doc_id"], dtype=np.int64)[present]
         bands = np.tile(np.arange(self.bands, dtype=np.int64), len(present))
         return pa.table(
@@ -201,17 +215,26 @@ class MinHasher:
                 "doc_id": pa.array(np.repeat(ids, self.bands)),
                 "band": pa.array(bands),
                 "band_key": pa.array(keys.reshape(-1)),
+                "sig_digest": pa.array(np.repeat(digest, self.bands)),
             }
         )
 
 
-def _default_partitions() -> int:
-    """Shuffle/join partition count derived from the cluster (the
-    pipelines._docs_ds pattern) — a hardcoded small constant starves a
-    32-core node, let alone a multi-node cluster."""
+def _default_partitions(count: int | None = None) -> int:
+    """Shuffle/join partition count: cluster-derived ceiling (a
+    hardcoded small constant starves a 32-core node, let alone a
+    multi-node cluster), scaled DOWN with the actual row count when the
+    caller knows it. Every join input in this module is bounded
+    (candidate pairs, edges, labels — never the corpus), so a tiny edge
+    set must not pay a 32-way shuffle per label-propagation round
+    (measured 2.5x on the clustering bench stage); at real scale
+    count/512 quickly reaches the cluster ceiling."""
     import ray
 
-    return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    cap = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    if count is None:
+        return cap
+    return max(2, min(cap, count // 512))
 
 
 def _bounded_ids(ds: "rd.Dataset", cols: tuple[str, ...]) -> np.ndarray:
@@ -252,22 +275,67 @@ def _make_id_filter(id_ref, invert: bool = False):
 
 
 def _pairs_from_ids(
-    ids: np.ndarray, cap: int = _BUCKET_CAP
+    ids: np.ndarray,
+    digests: np.ndarray | None = None,
+    cap: int = _BUCKET_CAP,
 ) -> tuple[np.ndarray, np.ndarray]:
-    ids = np.unique(ids)
+    """Candidate pairs within one LSH bucket.
+
+    Up to ``cap`` ids: full triangular enumeration (the oracle-checked
+    configs never exceed it). Above: sub-group by the full-signature
+    digest — docs with equal digests are signature-identical
+    near-certain dups, the common degenerate-bucket content
+    (boilerplate) — and emit (a) star pairs to each sub-group's min id
+    (verify passes within an identical-signature group, so every member
+    joins its cluster) plus (b) full triangular pairs AMONG the
+    sub-group representatives (cross-template near-dups in a mixed
+    bucket verify rep-to-rep; a star to the global min would send them
+    through a dissimilar hub and silently drop whole clusters). Only
+    when the representative count itself exceeds the cap does a
+    rep-star remain — that residual recall loss is logged."""
+    ids, first = np.unique(ids, return_index=True)
     m = len(ids)
     if m < 2:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    if m > cap:
-        # degenerate bucket: O(m) star edges instead of O(m^2) pairs
-        # (docstring at _BUCKET_CAP); logged so truncation is visible
+    if m <= cap or digests is None:
+        if m > cap:
+            print(
+                f"quickray.dedup: LSH bucket of {m} ids exceeds cap {cap}"
+                " with no signature digests; emitting star pairs"
+            )
+            return np.full(m - 1, ids[0], np.int64), ids[1:]
+        ai, bi = np.triu_indices(m, k=1)
+        return ids[ai], ids[bi]
+    dig = digests[first]
+    order = np.argsort(dig, kind="stable")  # ids ascend within a digest
+    ids_s, dig_s = ids[order], dig[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(dig_s)) + 1))
+    reps = ids_s[starts]  # each sub-group's min id (stable sort)
+    grp_lens = np.diff(np.append(starts, m))
+    a_star = np.repeat(reps, grp_lens - 1)
+    member_mask = np.ones(m, dtype=bool)
+    member_mask[starts] = False
+    b_star = ids_s[member_mask]
+    r = len(reps)
+    if r <= cap:
+        ai, bi = np.triu_indices(r, k=1)
+        ra, rb = reps[ai], reps[bi]
+    else:
         print(
-            f"quickray.dedup: LSH bucket of {m} ids exceeds cap {cap}; "
-            f"emitting {m - 1} star pairs instead of {m * (m - 1) // 2}"
+            f"quickray.dedup: oversize LSH bucket has {r} distinct "
+            f"signatures (> cap {cap}); representatives fall back to "
+            f"{r - 1} star pairs — residual recall loss"
         )
-        return np.full(m - 1, ids[0], np.int64), ids[1:]
-    ai, bi = np.triu_indices(m, k=1)
-    return ids[ai], ids[bi]
+        srt = np.sort(reps)
+        ra, rb = np.full(r - 1, srt[0], np.int64), srt[1:]
+    print(
+        f"quickray.dedup: LSH bucket of {m} ids (cap {cap}) split into "
+        f"{r} signature sub-groups: {len(a_star)} star + "
+        f"{len(ra)} representative pairs instead of {m * (m - 1) // 2}"
+    )
+    a = np.concatenate([a_star, ra])
+    b = np.concatenate([b_star, rb])
+    return np.minimum(a, b), np.maximum(a, b)
 
 
 # task-mode per-worker MinHasher cache (same pattern as
@@ -301,15 +369,17 @@ def minhash_candidate_pairs(
 ) -> "rd.Dataset":
     """LSH bucket groupby -> distinct unordered candidate pairs (a < b).
     Pair enumeration inside a bucket is vectorized (triu_indices) and
-    capped at ``bucket_cap`` ids per bucket (star pairs above — see
-    _BUCKET_CAP); the same pair colliding in several bands is deduped by
-    a NATIVE (a, b) groupby-count (no per-group Python) — all
-    distributed, nothing driver-side."""
+    capped at ``bucket_cap`` ids per bucket (signature-digest
+    sub-grouping above — see _pairs_from_ids); the same pair colliding
+    in several bands is deduped by a NATIVE (a, b) groupby-count (no
+    per-group Python) — all distributed, nothing driver-side."""
     from ray.data.aggregate import Count
 
     def pairs(group: pa.Table) -> pa.Table:
         a, b = _pairs_from_ids(
-            np.asarray(group["doc_id"], dtype=np.int64), bucket_cap
+            np.asarray(group["doc_id"], dtype=np.int64),
+            np.asarray(group["sig_digest"], dtype=np.int64),
+            bucket_cap,
         )
         return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
@@ -397,10 +467,10 @@ def verify_pairs(
     verification."""
     import ray
 
-    if num_partitions is None:
-        num_partitions = _default_partitions()
     cand = cand.materialize()  # bounded: candidate pairs only
     n_cand = cand.count()
+    if num_partitions is None:
+        num_partitions = _default_partitions(n_cand)
     if n_cand == 0:
         # an all-empty dataset loses its column schema through the
         # groupby, which would break the hash join's key reference
@@ -410,8 +480,11 @@ def verify_pairs(
                  "jaccard": pa.array([], pa.float64())}
             )
         )
-    cand = _join_ready(cand, num_partitions, n_cand)
+    # ids from the MATERIALIZED cand (before the lazy _join_ready
+    # repartition — reading them afterwards would execute that shuffle
+    # a second time when the join runs)
     cand_ids = _bounded_ids(cand, ("a", "b"))
+    cand = _join_ready(cand, num_partitions, n_cand)
     id_ref = ray.put(cand_ids)
     docs_cand = docs_ds.map_batches(
         _make_id_filter(id_ref), batch_format="pyarrow"
@@ -471,8 +544,9 @@ def minhash_near_duplicates(
     (P[candidate] = 1-(1-j^rows_per_band)^bands). For an exact result
     on bounded inputs use bands=num_perm (rows_per_band=1: any shared
     minhash collides — recall ~1 at j >= 0.5, miss prob <= (1-j)^perm).
-    Buckets above ``bucket_cap`` emit star pairs (see _BUCKET_CAP) —
-    connectivity-preserving, so dedup clustering is unaffected."""
+    Buckets above ``bucket_cap`` sub-group by signature digest (see
+    _pairs_from_ids) — identical-signature dup families stay fully
+    connected and distinct families still pair rep-to-rep."""
     cand = minhash_candidate_pairs(ds, num_perm, bands, shingle_k, bucket_cap)
     return verify_pairs(cand, ds, shingle_k, threshold)
 
@@ -519,24 +593,59 @@ def simhash_signatures(ds: "rd.Dataset") -> "rd.Dataset":
     return ds.map_batches(per_batch, batch_format="pyarrow", batch_size=1024)
 
 
-def connected_components(
-    pairs: "rd.Dataset", max_iters: int = 64, num_partitions: int | None = None
-) -> "rd.Dataset":
-    """Connected components over undirected (a, b) near-dup edges via
-    distributed min-label propagation: every node's label converges to
-    the smallest doc_id reachable from it. Returns (doc_id, cluster_id)
-    for every node that appears in an edge — the "keep one per cluster"
-    step of a dedup pipeline (keep doc_id == cluster_id).
+def _driver_components(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Exact union-find (path halving) over bounded edge arrays —
+    cluster_id = min doc_id of the component, identical semantics to
+    the distributed min-label propagation."""
+    nodes = np.unique(np.concatenate([a, b]))
+    parent = np.arange(len(nodes), dtype=np.int64)
 
-    Each iteration is one hash join (edge dst -> current label) plus one
-    groupby-min — both distributed shuffles over the EDGE set, which is
-    orders of magnitude smaller than the corpus after LSH + verify.
-    Labels are non-negative and strictly decrease somewhere until the
-    fixpoint, so sum(label) is a monotone convergence witness computed
-    as a Dataset aggregate (no driver-side label table). Rounds needed =
-    the largest component's diameter; near-dup clusters are shallow
-    (dup "stars" around a template), and max_iters bounds adversarial
-    chains."""
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    for x, y in zip(ai.tolist(), bi.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[rx] = ry
+    roots = np.fromiter(
+        (find(i) for i in range(len(nodes))), np.int64, len(nodes)
+    )
+    lab = np.full(len(nodes), np.iinfo(np.int64).max)
+    np.minimum.at(lab, roots, nodes)
+    return pa.table(
+        {"doc_id": pa.array(nodes), "cluster_id": pa.array(lab[roots])}
+    )
+
+
+def connected_components(
+    pairs: "rd.Dataset",
+    max_iters: int = 64,
+    num_partitions: int | None = None,
+    driver_threshold: int = 1_000_000,
+) -> "rd.Dataset":
+    """Connected components over undirected (a, b) near-dup edges.
+    Returns (doc_id, cluster_id = smallest doc_id reachable) for every
+    node that appears in an edge — the "keep one per cluster" step of a
+    dedup pipeline (keep doc_id == cluster_id).
+
+    The edge set is BOUNDED by construction (post-LSH, post-verify), so
+    up to ``driver_threshold`` edges (16 B/edge -> ~16 MB driver heap at
+    the default) an exact driver-side union-find answers in one O(E)
+    pass. Above it, distributed min-label propagation runs: each
+    iteration is one hash join (edge dst -> current label) plus one
+    groupby-min — both shuffles over the edge set only, never the
+    corpus. Labels are non-negative and strictly decrease somewhere
+    until the fixpoint, so sum(label) is a monotone convergence witness
+    computed as a Dataset aggregate (no driver-side label table).
+    Rounds needed = the largest component's diameter; near-dup clusters
+    are shallow (dup "stars" around a template), and max_iters bounds
+    adversarial chains. Pass driver_threshold=0 to force the
+    distributed path (tests cover both)."""
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch["a"], dtype=np.int64)
@@ -548,10 +657,12 @@ def connected_components(
             }
         )
 
-    if num_partitions is None:
-        num_partitions = _default_partitions()
+    import ray
+
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
-    n_edges = edges.count()
+    n_edges = edges.count()  # directed rows = 2x the input pairs
+    if num_partitions is None:
+        num_partitions = _default_partitions(n_edges)
     if n_edges == 0:
         return rd.from_arrow(
             pa.table(
@@ -559,6 +670,11 @@ def connected_components(
                  "cluster_id": pa.array([], pa.int64())}
             )
         )
+    if n_edges <= 2 * driver_threshold:
+        parts = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        src = np.concatenate([np.asarray(t["src"], np.int64) for t in parts])
+        dst = np.concatenate([np.asarray(t["dst"], np.int64) for t in parts])
+        return rd.from_arrow(_driver_components(src, dst))
 
     def self_label(batch: pa.Table) -> pa.Table:
         src = batch["src"]

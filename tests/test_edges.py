@@ -359,21 +359,41 @@ def test_dense_flag_eval_without_bits_column(ray_session, tmp_path):
     assert np.allclose(got_sc, want_sc, rtol=1e-12)
 
 
-def test_lsh_bucket_cap_star_pairs():
-    """Oversize LSH buckets emit O(m) star pairs (min-id hub), not
-    O(m^2) — the degenerate-bucket defense; under the cap the full
-    triangular enumeration is unchanged."""
+def test_lsh_bucket_cap_subgroups():
+    """Oversize LSH buckets sub-group by signature digest: star pairs
+    within each identical-signature family + full pairs among family
+    representatives — O(m + r^2), not O(m^2), and a mixed bucket of two
+    dup families keeps BOTH families connected (a global-min star would
+    route family B through a dissimilar hub and lose it at verify).
+    Under the cap the full triangular enumeration is unchanged."""
     from quickray.extras.dedup import _pairs_from_ids
 
     small = np.array([5, 3, 9], np.int64)
     a, b = _pairs_from_ids(small, cap=512)
     assert list(zip(a.tolist(), b.tolist())) == [(3, 5), (3, 9), (5, 9)]
 
+    # two identical-signature families sharing one degenerate bucket
+    ids = np.arange(600, dtype=np.int64)
+    digests = np.where(ids < 300, 7, 9).astype(np.int64)
+    a, b = _pairs_from_ids(ids, digests, cap=100)
+    pairs = set(zip(a.tolist(), b.tolist()))
+    assert len(pairs) == 299 + 299 + 1  # two stars + one rep pair
+    assert all((0, i) in pairs for i in range(1, 300))  # family A star
+    assert all((300, i) in pairs for i in range(301, 600))  # family B star
+    assert (0, 300) in pairs  # representatives still meet
+
+    # no digests available: bounded star fallback
     big = np.arange(1000, dtype=np.int64)[::-1].copy()
-    a, b = _pairs_from_ids(big, cap=100)
+    a, b = _pairs_from_ids(big, None, cap=100)
     assert len(a) == 999  # not 1000*999/2
     assert (a == 0).all()
     assert sorted(b.tolist()) == list(range(1, 1000))
+
+    # more distinct signatures than the cap: rep star, still O(m)
+    ids = np.arange(300, dtype=np.int64)
+    a, b = _pairs_from_ids(ids, ids.copy(), cap=100)
+    assert len(a) == 299
+    assert (a == 0).all()
 
 
 def test_pathological_identical_docs_bounded(ray_session):

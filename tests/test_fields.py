@@ -125,6 +125,58 @@ def test_author_recaller_port(field_engine, field_corpus):
     assert set(ids.tolist()) == (set(got_field.tolist()) & kw)
 
 
+def test_field_hot_detection_case_folds(tmp_path, ray_session):
+    """Field hot-term dfs must be counted on the lowercased posting key
+    ('EN' and 'en' both post to lang\\x01en), or a case-mixed hot value
+    slips under the threshold and is never salted."""
+    import json
+    import os
+
+    import pyarrow as pa
+
+    from quickray.build import build_index
+
+    n = 120
+    tbl = pa.table(
+        {
+            "repo": pa.array(["r"] * n),
+            "path": pa.array([f"f{i:03d}.go" for i in range(n)]),
+            "commit": pa.array(["c"] * n),
+            "lang": pa.array(["EN" if i % 2 else "en" for i in range(n)]),
+            "content": pa.array([f"word{i}" for i in range(n)]),
+        }
+    )
+    out = str(tmp_path / "idx")
+    build_index(tbl, out, hot_df=100, field_cols=["lang"], langs=["en"])
+    with open(os.path.join(out, "stats", "stats.json")) as f:
+        stats = json.load(f)
+    # each raw-cased group is 60 (< 100); the folded key's df is 120
+    assert "lang\x01en" in stats["hot_terms"]
+    eng = LocalEngine(Index(out))
+    assert len(eng.candidates(
+        Query(tree=Term("en", field="lang"), k=10**9)
+    )) == n
+
+
+def test_duplicate_field_cols_rejected(tmp_path, ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from quickray.build import build_index
+
+    tbl = pa.table(
+        {
+            "repo": pa.array(["r"]),
+            "path": pa.array(["f.go"]),
+            "commit": pa.array(["c"]),
+            "lang": pa.array(["go"]),
+            "content": pa.array(["x"]),
+        }
+    )
+    with _pytest.raises(ValueError, match="duplicates"):
+        build_index(tbl, str(tmp_path / "i"), field_cols=["lang", "lang"])
+
+
 def test_field_query_json_roundtrip():
     from quickray.query import query_from_json
 
