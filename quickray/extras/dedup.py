@@ -448,23 +448,105 @@ def _join_ready(
     return ds.repartition(max(1, min(num_partitions, count)))
 
 
+def _empty_pairs_table() -> pa.Table:
+    return pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+
+
+def _jaccard_filter_sort(
+    a: np.ndarray, b: np.ndarray, js: np.ndarray, threshold: float
+) -> pa.Table:
+    """Shared tail of both verify paths: threshold, (a, b) sort, SQL
+    rounding — byte-identical output shape."""
+    from quickray.util import round_sql
+
+    keep = js >= threshold
+    order = np.lexsort((b[keep], a[keep]))
+    return pa.table(
+        {
+            "a": pa.array(a[keep][order]),
+            "b": pa.array(b[keep][order]),
+            "jaccard": pa.array(round_sql(js[keep][order], 4)),
+        }
+    )
+
+
+def _verify_broadcast(
+    cand: "rd.Dataset", sh_mat: "rd.Dataset", threshold: float
+) -> "rd.Dataset":
+    """Join-free verification: the candidate docs' shingle sets (bounded
+    — the semi-filter already ran) ship ONCE via ray.put as (sorted ids,
+    offsets, one flat int64 buffer); each candidate-pair batch resolves
+    both sides with a local searchsorted and intersects in place.
+    Removes two hash-shuffle joins whenever the candidate shingle table
+    fits the broadcast budget."""
+    import ray
+
+    parts = [t for t in ray.get(sh_mat.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return rd.from_arrow(_empty_pairs_table())
+    tbl = pa.concat_tables(parts)
+    ids = np.asarray(tbl["doc_id"], dtype=np.int64)
+    order = np.argsort(ids)
+    arrs = [np.frombuffer(m, dtype=np.int64) for m in tbl["sh"].to_pylist()]
+    offs = np.zeros(len(arrs) + 1, np.int64)
+    np.cumsum([len(arrs[int(i)]) for i in order], out=offs[1:])
+    flat = (
+        np.concatenate([arrs[int(i)] for i in order])
+        if arrs else np.empty(0, np.int64)
+    )
+    ref = ray.put((ids[order], offs, flat))
+
+    def jac(batch: pa.Table) -> pa.Table:
+        ids_s, offs, flat = ray.get(ref)  # plasma-local, zero-copy
+        a = np.asarray(batch["a"], dtype=np.int64)
+        b = np.asarray(batch["b"], dtype=np.int64)
+        pa_pos = np.searchsorted(ids_s, a)
+        pb_pos = np.searchsorted(ids_s, b)
+        pa_c = np.minimum(pa_pos, max(0, len(ids_s) - 1))
+        pb_c = np.minimum(pb_pos, max(0, len(ids_s) - 1))
+        # inner-join semantics: a pair drops unless BOTH docs have a
+        # shingle row
+        ok = (
+            (pa_pos < len(ids_s)) & (ids_s[pa_c] == a)
+            & (pb_pos < len(ids_s)) & (ids_s[pb_c] == b)
+        )
+        a, b = a[ok], b[ok]
+        ia, ib = pa_c[ok], pb_c[ok]
+        js = np.empty(len(a), np.float64)
+        for i in range(len(a)):
+            sa = flat[offs[ia[i]] : offs[ia[i] + 1]]
+            sb = flat[offs[ib[i]] : offs[ib[i] + 1]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            js[i] = inter / (len(sa) + len(sb) - inter)
+        return _jaccard_filter_sort(a, b, js, threshold)
+
+    return cand.map_batches(jac, batch_format="pyarrow")
+
+
 def verify_pairs(
     cand: "rd.Dataset",
     docs_ds: "rd.Dataset",
     shingle_k: int = 3,
     threshold: float = 0.5,
     num_partitions: int | None = None,
+    broadcast_bytes: int = 256 << 20,
 ) -> "rd.Dataset":
     """Distributed exact-Jaccard verification of candidate pairs.
 
     The candidate doc_id set (bounded by construction — post-LSH) is
     broadcast via ray.put and SEMI-FILTERS the corpus *before* shingle
-    sets are built, so only candidate docs' shingles ever enter the two
-    hash joins — the corpus itself never shuffles (the round-3 shape
-    hash-partitioned one shingle row per corpus doc per join). Then a
-    per-pair sorted-array intersection computes exact Jaccard. No
-    driver-side shingle dict — this is the 100-TB shape of LSH
-    verification."""
+    sets are built, so only candidate docs' shingles remain in play —
+    the corpus itself never shuffles (the round-3 shape hash-partitioned
+    one shingle row per corpus doc per join). If the surviving shingle
+    table fits ``broadcast_bytes`` it too is broadcast and verification
+    is a join-free map over the pair list (_verify_broadcast); larger
+    candidate sets take two hash joins over the filtered table. Then a
+    per-pair sorted-array intersection computes exact Jaccard. Nothing
+    corpus-sized on the driver on either path — this is the 100-TB
+    shape of LSH verification."""
     import ray
 
     cand = cand.materialize()  # bounded: candidate pairs only
@@ -474,24 +556,21 @@ def verify_pairs(
     if n_cand == 0:
         # an all-empty dataset loses its column schema through the
         # groupby, which would break the hash join's key reference
-        return rd.from_arrow(
-            pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "jaccard": pa.array([], pa.float64())}
-            )
-        )
+        return rd.from_arrow(_empty_pairs_table())
     # ids from the MATERIALIZED cand (before the lazy _join_ready
     # repartition — reading them afterwards would execute that shuffle
     # a second time when the join runs)
     cand_ids = _bounded_ids(cand, ("a", "b"))
-    cand = _join_ready(cand, num_partitions, n_cand)
     id_ref = ray.put(cand_ids)
     docs_cand = docs_ds.map_batches(
         _make_id_filter(id_ref), batch_format="pyarrow"
     )
-    # bounded after the semi-filter (<= 2 * n_cand rows); re-pack so the
-    # join never sees an empty first block (see _join_ready)
+    # bounded after the semi-filter (<= 2 * n_cand rows)
     sh_ds = shingle_set_rows(docs_cand, shingle_k).materialize()
+    if (sh_ds.size_bytes() or 0) <= broadcast_bytes:
+        return _verify_broadcast(cand, sh_ds, threshold)
+    cand = _join_ready(cand, num_partitions, n_cand)
+    # re-pack so the join never sees an empty first block (_join_ready)
     sh_ds = _join_ready(sh_ds, num_partitions, max(1, sh_ds.count()))
     j1 = cand.join(
         sh_ds, join_type="inner", num_partitions=num_partitions,
@@ -507,8 +586,6 @@ def verify_pairs(
     ).rename_columns({"sh": "sh_b"})
 
     def jaccard(batch: pa.Table) -> pa.Table:
-        from quickray.util import round_sql
-
         a = np.asarray(batch["a"], dtype=np.int64)
         b = np.asarray(batch["b"], dtype=np.int64)
         js = np.empty(len(a), np.float64)
@@ -521,15 +598,7 @@ def verify_pairs(
             sb = np.frombuffer(bb, dtype=np.int64)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             js[i] = inter / (len(sa) + len(sb) - inter)
-        keep = js >= threshold
-        order = np.lexsort((b[keep], a[keep]))
-        return pa.table(
-            {
-                "a": pa.array(a[keep][order]),
-                "b": pa.array(b[keep][order]),
-                "jaccard": pa.array(round_sql(js[keep][order], 4)),
-            }
-        )
+        return _jaccard_filter_sort(a, b, js, threshold)
 
     return j2.map_batches(jaccard, batch_format="pyarrow")
 

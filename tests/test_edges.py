@@ -434,6 +434,38 @@ def test_pathological_identical_docs_bounded(ray_session):
     assert kept["doc_id"].tolist() == [0]
 
 
+def test_verify_paths_parity(ray_session):
+    """The broadcast (join-free) and hash-join verify paths must emit
+    identical (a, b, jaccard) sets; broadcast_bytes=0 forces the join
+    fallback."""
+    import ray.data as rd
+
+    from quickray.extras.dedup import minhash_candidate_pairs, verify_pairs
+
+    texts = [
+        f"alpha beta gamma delta epsilon zeta eta theta doc{i % 8}"
+        for i in range(40)
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(40, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    ds = rd.from_arrow(docs).repartition(4)
+    cand = minhash_candidate_pairs(ds, num_perm=64, bands=64, shingle_k=3)
+    via_bcast = verify_pairs(cand, ds, shingle_k=3, threshold=0.5).to_pandas()
+    via_join = verify_pairs(
+        cand, ds, shingle_k=3, threshold=0.5, broadcast_bytes=0
+    ).to_pandas()
+
+    def norm(df):
+        return sorted(map(tuple, df[["a", "b", "jaccard"]].values.tolist()))
+
+    assert norm(via_bcast) == norm(via_join)
+    assert len(via_bcast) > 0  # the i%8 families are true duplicates
+
+
 def test_dedup_corpus_broadcast_anti_filter(ray_session):
     """dedup_corpus drops exactly the non-canonical cluster members via
     the broadcast id filter (no join), preserving all corpus columns;
