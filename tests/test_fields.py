@@ -177,6 +177,54 @@ def test_duplicate_field_cols_rejected(tmp_path, ray_session):
         build_index(tbl, str(tmp_path / "i"), field_cols=["lang", "lang"])
 
 
+def test_partitioned_field_terms_match_global(
+    field_corpus, field_index, field_oracle, tmp_path_factory, ray_session
+):
+    """Doc-sharded serving with field-scoped terms: 3 key-range
+    partition builds (each with field_cols) served by PartitionedEngine
+    are rank- and score-identical to the single global field build —
+    _SummedDf resolves the corpus-wide field-term df across shards."""
+    import pyarrow.compute as pc
+
+    from quickray.build import build_index
+    from quickray.engine import PartitionedEngine
+
+    keys = pc.binary_join_element_wise(
+        field_corpus["repo"].combine_chunks(),
+        field_corpus["path"].combine_chunks(),
+        "\x01",
+    )
+    srt = field_corpus.take(pc.sort_indices(keys))
+    n = srt.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    root = tmp_path_factory.mktemp("fieldparts")
+    dirs = []
+    for i in range(3):
+        out = str(root / f"p{i}")
+        build_index(
+            srt.slice(cuts[i], cuts[i + 1] - cuts[i]), out,
+            hot_df=50, num_salts=2, field_cols=FIELDS,
+        )
+        dirs.append(out)
+    peng = PartitionedEngine(dirs)
+    langs = _vals(field_corpus, "lang")
+    qs = [
+        Query(tree=Term(langs[0], field="lang"), k=10**9),
+        Query(tree=And((Term(langs[1], field="lang"), Term("func"))), k=30),
+        Query(tree=Or((Term(langs[0], field="lang"),
+                       Term(langs[2], field="lang"))), k=40),
+    ]
+    geng = LocalEngine(Index(field_index))
+    for q in qs:
+        pids, psc = peng.search(q)
+        gids, gsc = geng.search(q)
+        assert pids.tolist() == gids.tolist()
+        assert np.allclose(psc, gsc, rtol=1e-9, atol=1e-12)
+        assert sorted(peng.candidates(q).tolist()) == sorted(
+            geng.candidates(q).tolist()
+        )
+
+
 def test_field_query_json_roundtrip():
     from quickray.query import query_from_json
 
