@@ -39,6 +39,9 @@ def cmd_build(args: argparse.Namespace) -> int:
         num_parts=args.num_parts,
         hot_df=args.hot_df,
         durable_shuffle=args.durable_shuffle,
+        field_cols=(
+            args.field_cols.split(",") if args.field_cols else None
+        ),
     )
     out = {
         "out_dir": res.out_dir,
@@ -51,16 +54,32 @@ def cmd_build(args: argparse.Namespace) -> int:
     return 0
 
 
+def _parse_terms(spec: str) -> tuple:
+    """Comma-separated terms; 'field:word' makes a field-scoped Term
+    (':' cannot appear in a content token, so the split is unambiguous;
+    the posting key is field + '\x01' + word, gen/document.go:5)."""
+    from quickray.query import Term
+
+    out = []
+    for t in spec.split(","):
+        if ":" in t:
+            f, w = t.split(":", 1)
+            out.append(Term(w, field=f))
+        else:
+            out.append(Term(t))
+    return tuple(out)
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     from quickray.engine import Index, LocalEngine
-    from quickray.query import And, Or, Query, Term, query_from_json
+    from quickray.query import And, Or, Query, query_from_json
 
     eng = LocalEngine(Index(args.index))
     if args.query_json:
         q = query_from_json(json.loads(args.query_json))
         q.k = args.k
     else:
-        terms = tuple(Term(t) for t in args.terms.split(","))
+        terms = _parse_terms(args.terms)
         tree = And(terms) if args.mode == "and" else Or(terms)
         q = Query(tree=tree, k=args.k, on_flag=args.on_flag,
                   off_flag=args.off_flag)
@@ -82,17 +101,20 @@ def cmd_delta_query(args: argparse.Namespace) -> int:
     rebuild-identical (quickray/delta.py; the reference's
     AddDoc/DeleteDoc analog)."""
     from quickray.delta import DeltaEngine
-    from quickray.query import And, Or, Query, Term
+    from quickray.query import And, Or, Query
 
     deleted: list[str] = []
     if args.deleted_keys:
         with open(args.deleted_keys) as f:
             deleted = [ln.rstrip("\n") for ln in f if ln.strip()]
     eng = DeltaEngine(
-        args.main.split(","), delta_dir=args.delta or None,
+        args.main.split(","),
+        # ordered batches: later dirs supersede earlier ones on key
+        # conflicts (last-batch-wins, quickray/delta.py)
+        delta_dir=(args.delta.split(",") if args.delta else None),
         deleted_keys=deleted,
     )
-    terms = tuple(Term(t) for t in args.terms.split(","))
+    terms = _parse_terms(args.terms)
     tree = And(terms) if args.mode == "and" else Or(terms)
     q = Query(tree=tree, k=args.k)
     t0 = time.time()
@@ -131,11 +153,17 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--durable-shuffle", action="store_true",
                    help="checkpoint the map side of the exchange and run "
                         "chunked merges (mid-shuffle resume for long builds)")
+    b.add_argument("--field-cols", default=None,
+                   help="comma-separated metadata columns to index as "
+                        "field-scoped keywords (subset of repo,path,"
+                        "commit,lang); query with 'field:word' terms")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")
     q.add_argument("--index", required=True)
-    q.add_argument("--terms", default="", help="comma-separated terms")
+    q.add_argument("--terms", default="",
+                   help="comma-separated terms; 'field:word' scopes a "
+                        "term to an indexed field")
     q.add_argument("--mode", choices=["and", "or"], default="or")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--on-flag", type=int, default=0)
@@ -151,7 +179,9 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--main", required=True,
                    help="comma-separated built index dirs (the main corpus)")
     d.add_argument("--delta", default=None,
-                   help="index dir built over added/updated docs")
+                   help="comma-separated ORDERED index dirs built over "
+                        "added/updated doc batches (later wins on key "
+                        "conflicts)")
     d.add_argument("--deleted-keys", default=None,
                    help="file of deleted 'repo\\x01path' keys, one per line")
     d.add_argument("--terms", required=True)
