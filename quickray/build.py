@@ -657,28 +657,41 @@ def build_index(
         # content read): a field value held by more docs than the
         # threshold (e.g. lang\x01en at df ~ N/5) must be salted like
         # any hot term, or its level-1 merge group becomes exactly the
-        # skewed straggler salting exists to prevent
-        for f in field_cols:
+        # skewed straggler salting exists to prevent. ONE scan reads
+        # every field column and melts each row into its posting keys;
+        # one groupby counts all fields' dfs together (the per-field
+        # read+groupby loop cost one full metadata scan per field).
+        if field_cols:
 
-            def _low(t: pa.Table, f=f) -> pa.Table:
-                # group by the POSTING KEY's word (lowercased,
-                # null -> ''), not the raw value: 'EN' and 'en' map to
-                # the same lang\x01en posting, so their dfs must sum
-                # before the threshold test
+            def _melt_keys(t: pa.Table) -> pa.Table:
+                # group by the POSTING KEY (field + '\x01' +
+                # lowercased word, null -> ''), not the raw value:
+                # 'EN' and 'en' map to the same lang\x01en posting, so
+                # their dfs must sum before the threshold test
                 import pyarrow.compute as pc
 
-                c = t[f]
-                if isinstance(c, pa.ChunkedArray):
-                    c = c.combine_chunks()
-                low = pc.utf8_lower(pc.fill_null(c.cast(pa.string()), ""))
-                return pa.table({"w": low})
+                keys = []
+                for f in field_cols:
+                    c = t[f]
+                    if isinstance(c, pa.ChunkedArray):
+                        c = c.combine_chunks()
+                    low = pc.utf8_lower(
+                        pc.fill_null(c.cast(pa.string()), "")
+                    )
+                    keys.append(pc.binary_join_element_wise(
+                        pa.scalar(f), low, pa.scalar("\x01")
+                    ))
+                return pa.table({"w": pa.concat_arrays(
+                    [k.combine_chunks() if isinstance(k, pa.ChunkedArray)
+                     else k for k in keys]
+                )})
 
             frows = (
                 rd.read_parquet(
-                    docbase_dir, columns=[f, "kind"],
+                    docbase_dir, columns=list(field_cols) + ["kind"],
                     filter=pads.field("kind") == 0,
                 )
-                .map_batches(_low, batch_format="pyarrow")
+                .map_batches(_melt_keys, batch_format="pyarrow")
                 .groupby("w")
                 .aggregate(Count(alias_name="fdf"))
                 .map_batches(
@@ -687,7 +700,7 @@ def build_index(
                 )
                 .take_all()
             )
-            hot_terms.extend(f"{f}\x01{r0['w']}" for r0 in frows)
+            hot_terms.extend(r0["w"] for r0 in frows)
         hot_terms = sorted(set(hot_terms))
         stats = {
             "n_docs": n_docs,

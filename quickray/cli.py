@@ -57,16 +57,19 @@ def cmd_build(args: argparse.Namespace) -> int:
 def _parse_terms(spec: str) -> tuple:
     """Comma-separated terms; 'field:word' makes a field-scoped Term
     (':' cannot appear in a content token, so the split is unambiguous;
-    the posting key is field + '\x01' + word, gen/document.go:5)."""
+    the posting key is field + '\x01' + word, gen/document.go:5).
+    Words are stripped + lowercased to match what the index stores
+    (the tokenizer lowercases content tokens and field values alike) —
+    the same M4 cleaning make_term_recaller applies (recall.py:67)."""
     from quickray.query import Term
 
     out = []
     for t in spec.split(","):
         if ":" in t:
             f, w = t.split(":", 1)
-            out.append(Term(w, field=f))
+            out.append(Term(w.strip().lower(), field=f.strip()))
         else:
-            out.append(Term(t))
+            out.append(Term(t.strip().lower()))
     return tuple(out)
 
 

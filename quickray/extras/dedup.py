@@ -19,6 +19,7 @@ All per-batch kernels are vectorized: md5 runs once per UNIQUE token
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pyarrow as pa
@@ -28,6 +29,12 @@ import ray.data as rd
 from quickray.tokenize import flatten_tokens
 
 _MERSENNE = (1 << 61) - 1
+
+# worker-side diagnostics (oversize-bucket splits happen inside Ray
+# tasks at exactly the corpus scale where per-bucket print() would
+# flood the driver log with thousands of identical lines); recall-loss
+# fallbacks warn, routine splits are debug-only
+logger = logging.getLogger(__name__)
 # LSH band-bucket size cap: a degenerate bucket (boilerplate / empty /
 # identical docs sharing a band key) would otherwise enumerate O(m^2)
 # pairs. Above the cap the bucket is SUB-GROUPED by full-signature
@@ -299,9 +306,9 @@ def _pairs_from_ids(
         return np.empty(0, np.int64), np.empty(0, np.int64)
     if m <= cap or digests is None:
         if m > cap:
-            print(
-                f"quickray.dedup: LSH bucket of {m} ids exceeds cap {cap}"
-                " with no signature digests; emitting star pairs"
+            logger.warning(
+                "LSH bucket of %d ids exceeds cap %d with no signature"
+                " digests; emitting star pairs", m, cap,
             )
             return np.full(m - 1, ids[0], np.int64), ids[1:]
         ai, bi = np.triu_indices(m, k=1)
@@ -321,17 +328,17 @@ def _pairs_from_ids(
         ai, bi = np.triu_indices(r, k=1)
         ra, rb = reps[ai], reps[bi]
     else:
-        print(
-            f"quickray.dedup: oversize LSH bucket has {r} distinct "
-            f"signatures (> cap {cap}); representatives fall back to "
-            f"{r - 1} star pairs — residual recall loss"
+        logger.warning(
+            "oversize LSH bucket has %d distinct signatures (> cap %d);"
+            " representatives fall back to %d star pairs — residual"
+            " recall loss", r, cap, r - 1,
         )
         srt = np.sort(reps)
         ra, rb = np.full(r - 1, srt[0], np.int64), srt[1:]
-    print(
-        f"quickray.dedup: LSH bucket of {m} ids (cap {cap}) split into "
-        f"{r} signature sub-groups: {len(a_star)} star + "
-        f"{len(ra)} representative pairs instead of {m * (m - 1) // 2}"
+    logger.debug(
+        "LSH bucket of %d ids (cap %d) split into %d signature"
+        " sub-groups: %d star + %d representative pairs instead of %d",
+        m, cap, r, len(a_star), len(ra), m * (m - 1) // 2,
     )
     a = np.concatenate([a_star, ra])
     b = np.concatenate([b_star, rb])
@@ -487,20 +494,32 @@ def _verify_broadcast(
     parts = [t for t in ray.get(sh_mat.to_arrow_refs()) if t.num_rows]
     if not parts:
         return rd.from_arrow(_empty_pairs_table())
-    tbl = pa.concat_tables(parts)
+    tbl = pa.concat_tables(parts).combine_chunks()
     ids = np.asarray(tbl["doc_id"], dtype=np.int64)
     order = np.argsort(ids)
-    arrs = [np.frombuffer(m, dtype=np.int64) for m in tbl["sh"].to_pylist()]
-    offs = np.zeros(len(arrs) + 1, np.int64)
-    np.cumsum([len(arrs[int(i)]) for i in order], out=offs[1:])
+    # read the binary column's offsets/data buffers directly — the
+    # flat int64 payload never round-trips through per-row Python
+    # bytes objects (the r04 review finding: to_pylist + frombuffer +
+    # concatenate held ~3x the table in transient driver objects)
+    chunk = tbl["sh"].chunk(0)
+    off_dt = np.int64 if pa.types.is_large_binary(chunk.type) else np.int32
+    boffs = np.frombuffer(chunk.buffers()[1], dtype=off_dt)[
+        chunk.offset : chunk.offset + len(chunk) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
+    # per-row int64 ELEMENT offsets into flat, rows in natural order;
+    # the sorted-id probe maps position -> row via `order` instead of
+    # physically reordering the buffer
+    e = (boffs - boffs[0]) // 8
+    raw = data[boffs[0] : boffs[-1]]
     flat = (
-        np.concatenate([arrs[int(i)] for i in order])
-        if arrs else np.empty(0, np.int64)
+        np.ascontiguousarray(raw).view(np.int64)
+        if raw.size else np.empty(0, np.int64)
     )
-    ref = ray.put((ids[order], offs, flat))
+    ref = ray.put((ids[order], order, e, flat))
 
     def jac(batch: pa.Table) -> pa.Table:
-        ids_s, offs, flat = ray.get(ref)  # plasma-local, zero-copy
+        ids_s, rows, e, flat = ray.get(ref)  # plasma-local, zero-copy
         a = np.asarray(batch["a"], dtype=np.int64)
         b = np.asarray(batch["b"], dtype=np.int64)
         pa_pos = np.searchsorted(ids_s, a)
@@ -514,11 +533,11 @@ def _verify_broadcast(
             & (pb_pos < len(ids_s)) & (ids_s[pb_c] == b)
         )
         a, b = a[ok], b[ok]
-        ia, ib = pa_c[ok], pb_c[ok]
+        ia, ib = rows[pa_c[ok]], rows[pb_c[ok]]
         js = np.empty(len(a), np.float64)
         for i in range(len(a)):
-            sa = flat[offs[ia[i]] : offs[ia[i] + 1]]
-            sb = flat[offs[ib[i]] : offs[ib[i] + 1]]
+            sa = flat[e[ia[i]] : e[ia[i] + 1]]
+            sb = flat[e[ib[i]] : e[ib[i] + 1]]
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             js[i] = inter / (len(sa) + len(sb) - inter)
         return _jaccard_filter_sort(a, b, js, threshold)
@@ -578,8 +597,15 @@ def verify_pairs(
     ).rename_columns({"sh": "sh_a"})
     # inner join keeps each pair exactly once (one shingle row per doc),
     # so j1 is bounded by n_cand; its per-partition output blocks
-    # (possibly empty) must be re-packed before feeding the second join
-    j1 = _join_ready(j1, num_partitions, n_cand)
+    # (possibly empty) must be re-packed before feeding the second join.
+    # Count the ACTUAL survivors (pairs whose `a` doc had < k tokens and
+    # thus no shingle row are dropped here) — repartitioning by the
+    # pre-join n_cand could still emit empty blocks.
+    j1 = j1.materialize()
+    n_j1 = j1.count()
+    if n_j1 == 0:
+        return rd.from_arrow(_empty_pairs_table())
+    j1 = _join_ready(j1, num_partitions, n_j1)
     j2 = j1.join(
         sh_ds, join_type="inner", num_partitions=num_partitions,
         on=("b",), right_on=("doc_id",),

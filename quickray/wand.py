@@ -103,15 +103,22 @@ def block_max_topk(engine, terms: list[str], q: Query):
                         p, p.df, index.n_docs, index.avgdl, True
                     )
             if has_flags:
-                try:
-                    bits = index.docmeta_arrays(("bits",))["bits"]
-                except (OSError, KeyError, pa.ArrowInvalid):
-                    # builds predating the docmeta bits column (Index
-                    # preload tolerates them the same way): bits are
-                    # doc-level and replicated into every posting, so
-                    # the slice this query needs reconstructs from the
-                    # postings at hand — docs outside every posting
-                    # score 0 and never reach the top-k anyway
+                bits = None
+                if not getattr(index, "_bits_absent", False):
+                    try:
+                        bits = index.docmeta_arrays(("bits",))["bits"]
+                    except (OSError, KeyError, pa.ArrowInvalid):
+                        # builds predating the docmeta bits column
+                        # (Index preload tolerates them the same way);
+                        # remember the absence so later queries skip
+                        # the parquet open + exception on the hot path
+                        index._bits_absent = True
+                if bits is None:
+                    # bits are doc-level and replicated into every
+                    # posting, so the slice this query needs
+                    # reconstructs from the postings at hand — docs
+                    # outside every posting score 0 and never reach
+                    # the top-k anyway
                     bits = np.zeros(index.n_docs, dtype=np.int64)
                     for p in ps:
                         bits[p.doc_ids] = p.bits

@@ -466,6 +466,53 @@ def test_verify_paths_parity(ray_session):
     assert len(via_bcast) > 0  # the i%8 families are true duplicates
 
 
+def test_verify_join_path_with_shingleless_pair_docs(ray_session):
+    """Join-mode verify where candidate pairs reference docs with fewer
+    than shingle_k tokens (no shingle row): those pairs drop at the
+    FIRST inner join, so repartitioning j1 by the pre-join pair count
+    would emit empty blocks — the exact Ray 2.49 empty-first-block
+    schema hazard _join_ready exists to prevent (r04 review finding).
+    Both paths must agree and neither may raise."""
+    import ray.data as rd
+
+    from quickray.extras.dedup import verify_pairs
+
+    texts = ["alpha beta gamma delta epsilon"] * 4 + ["ab", ""] * 2
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(8, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    ds = rd.from_arrow(docs).repartition(2)
+    # hand-built candidates: real dup pairs + pairs whose `a` (and `b`)
+    # docs emit no shingle row; high partition count forces the
+    # empty-block scenario without the fix
+    cand = rd.from_arrow(pa.table({
+        "a": pa.array([0, 1, 4, 5, 6], pa.int64()),
+        "b": pa.array([1, 2, 7, 6, 7], pa.int64()),
+    }))
+    kw = dict(shingle_k=3, threshold=0.5, num_partitions=8)
+    via_join = verify_pairs(cand, ds, broadcast_bytes=0, **kw).to_pandas()
+    via_bcast = verify_pairs(cand, ds, **kw).to_pandas()
+
+    def norm(df):
+        return sorted(map(tuple, df[["a", "b", "jaccard"]].values.tolist()))
+
+    assert norm(via_join) == norm(via_bcast) == [(0, 1, 1.0), (1, 2, 1.0)]
+
+    # every pair's `a` doc is shingleless (the b docs keep the shingle
+    # table non-empty so the JOIN path runs): j1 is empty -> empty
+    # result, no raise
+    cand2 = rd.from_arrow(pa.table({
+        "a": pa.array([4, 6], pa.int64()),
+        "b": pa.array([0, 2], pa.int64()),
+    }))
+    empty = verify_pairs(cand2, ds, broadcast_bytes=0, **kw)
+    assert empty.count() == 0
+    assert empty.schema().names == ["a", "b", "jaccard"]
+
+
 def test_dedup_corpus_broadcast_anti_filter(ray_session):
     """dedup_corpus drops exactly the non-canonical cluster members via
     the broadcast id filter (no join), preserving all corpus columns;
