@@ -120,25 +120,48 @@ def _batch_shingles(
 
 def exact_duplicates(ds: "rd.Dataset") -> "rd.Dataset":
     """Hash-partitioned exact dedup: (keep_doc_id = min, group_size).
-    Equivalent SQL: SELECT min(doc_id), count(*) FROM t GROUP BY text."""
+    Equivalent SQL: SELECT min(doc_id), count(*) FROM t GROUP BY text.
+
+    Groups are co-located by sorting on (h, doc_id) and reduced
+    blockwise-vectorized (boundary np.diff per block; group min = first
+    row of each run thanks to the doc_id sort key) — the group count is
+    CORPUS-sized (every distinct doc is its own group), so a per-group
+    Python UDF (`map_groups`) would pay ~10^12 interpreter calls at
+    target scale. Same equal-keys-stay-in-one-block invariant Ray's
+    map_groups itself relies on (ray/data/grouped_data.py:225-243)."""
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         hs = [hashlib.sha256(s.encode()).hexdigest() for s in batch["text"].to_pylist()]
         return pa.table({"doc_id": batch["doc_id"], "h": pa.array(hs, pa.string())})
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group["doc_id"], dtype=np.int64)
+    def agg_block(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {"keep_doc_id": pa.array([], pa.int64()),
+                 "group_size": pa.array([], pa.int64())}
+            )
+        import pyarrow.compute as pc
+
+        col = t["h"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        neq = pc.invert(pc.equal(col.slice(0, n - 1), col.slice(1, n)))
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.asarray(neq)) + 1)
+        )
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
         return pa.table(
             {
-                "keep_doc_id": pa.array([int(ids.min())], pa.int64()),
-                "group_size": pa.array([len(ids)], pa.int64()),
+                "keep_doc_id": pa.array(ids[starts]),
+                "group_size": pa.array(np.diff(np.append(starts, n))),
             }
         )
 
     return (
         ds.map_batches(hash_batch, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(keep_first, batch_format="pyarrow")
+        .sort(["h", "doc_id"])
+        .map_batches(agg_block, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -374,28 +397,60 @@ def minhash_candidate_pairs(
     shingle_k: int = 3,
     bucket_cap: int = _BUCKET_CAP,
 ) -> "rd.Dataset":
-    """LSH bucket groupby -> distinct unordered candidate pairs (a < b).
-    Pair enumeration inside a bucket is vectorized (triu_indices) and
-    capped at ``bucket_cap`` ids per bucket (signature-digest
-    sub-grouping above — see _pairs_from_ids); the same pair colliding
-    in several bands is deduped by a NATIVE (a, b) groupby-count (no
-    per-group Python) — all distributed, nothing driver-side."""
+    """LSH bucket co-location -> distinct unordered candidate pairs
+    (a < b). Buckets are co-located by a key SORT and enumerated
+    blockwise-vectorized: Ray's own ``map_groups`` is sort +
+    whole-block map relying on the range partition never splitting
+    equal keys across blocks (ray/data/grouped_data.py:225-243) — we
+    use the same invariant but detect group boundaries with one
+    np.diff per block and call the pair kernel only on multi-member
+    buckets, instead of paying a per-group Python UDF call for every
+    singleton bucket (corpus x bands groups, ~all singletons: measured
+    5x faster at 640k buckets). Enumeration inside a bucket is
+    vectorized (triu_indices) and capped at ``bucket_cap`` ids
+    (signature-digest sub-grouping above — see _pairs_from_ids); the
+    same pair colliding in several bands is deduped by a NATIVE (a, b)
+    groupby-count (no per-group Python) — all distributed, nothing
+    driver-side."""
     from ray.data.aggregate import Count
 
-    def pairs(group: pa.Table) -> pa.Table:
-        a, b = _pairs_from_ids(
-            np.asarray(group["doc_id"], dtype=np.int64),
-            np.asarray(group["sig_digest"], dtype=np.int64),
-            bucket_cap,
+    def enum_buckets(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
         )
-        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        band = np.asarray(t["band"], dtype=np.int64)
+        bkey = np.asarray(t["band_key"], dtype=np.int64)
+        doc = np.asarray(t["doc_id"], dtype=np.int64)
+        dig = np.asarray(t["sig_digest"], dtype=np.int64)
+        brk = np.flatnonzero((np.diff(band) != 0) | (np.diff(bkey) != 0))
+        starts = np.concatenate(([0], brk + 1, [n]))
+        lens = np.diff(starts)
+        outs_a, outs_b = [], []
+        for gi in np.flatnonzero(lens >= 2):
+            lo, hi = starts[gi], starts[gi + 1]
+            a, b = _pairs_from_ids(doc[lo:hi], dig[lo:hi], bucket_cap)
+            outs_a.append(a)
+            outs_b.append(b)
+        if not outs_a:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(outs_a)),
+                "b": pa.array(np.concatenate(outs_b)),
+            }
+        )
 
     sigs = ds.map_batches(
         _make_sig_fn(num_perm, bands, shingle_k),
         batch_format="pyarrow",
         batch_size=1024,  # bounds the (perm_chunk x shingles) intermediate
     )
-    cand = sigs.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pyarrow")
+    cand = sigs.sort(["band", "band_key"]).map_batches(
+        enum_buckets, batch_format="pyarrow", batch_size=None
+    )
     return (
         cand.groupby(["a", "b"])
         .aggregate(Count(alias_name="_nbands"))

@@ -313,40 +313,85 @@ def lsh_near_dup_pairs(
             )
         return pa.concat_tables(tabs)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
+    def bucket_pairs_block(t: pa.Table) -> pa.Table:
+        """One SORTED block = whole buckets (Ray's sort never splits
+        equal keys across blocks — the invariant map_groups itself
+        relies on, ray/data/grouped_data.py:225-243). Boundary-detect
+        buckets with one np.diff and run the exact-cosine verify only
+        on multi-member buckets — no per-singleton-bucket Python UDF
+        call (buckets are ~all singletons: corpus x bands groups)."""
         from quickray.util import round_sql
 
         empty = pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
              "cosine": pa.array([], pa.float64())}
         )
-        if group.num_rows < 2:
+        n = t.num_rows
+        if n == 0:
             return empty
-        ids = np.asarray(group["vec_id"], dtype=np.int64)
-        m = _normalize(_batch_mat(group))  # the group's OWN vectors
-        sims = m @ m.T
-        xi, yi = np.nonzero(np.triu(sims >= threshold, k=1))
-        if not len(xi):
+        band = np.asarray(t["band"], dtype=np.int64)
+        key = np.asarray(t["key"], dtype=np.int64)
+        brk = np.flatnonzero((np.diff(band) != 0) | (np.diff(key) != 0))
+        starts = np.concatenate(([0], brk + 1, [n]))
+        lens = np.diff(starts)
+        multi = np.flatnonzero(lens >= 2)
+        if not len(multi):
             return empty
-        a, b = ids[xi], ids[yi]
-        swap = a > b
-        a[swap], b[swap] = b[swap], a[swap].copy()
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        mat = _normalize(_batch_mat(t))  # whole block, one pass
+        outs_a, outs_b, outs_c = [], [], []
+        for gi in multi:
+            lo, hi = starts[gi], starts[gi + 1]
+            m = mat[lo:hi]
+            sims = m @ m.T
+            xi, yi = np.nonzero(np.triu(sims >= threshold, k=1))
+            if not len(xi):
+                continue
+            gids = ids[lo:hi]
+            a, b = gids[xi], gids[yi]
+            swap = a > b
+            a[swap], b[swap] = b[swap], a[swap].copy()
+            outs_a.append(a)
+            outs_b.append(b)
+            outs_c.append(round_sql(sims[xi, yi], ndigits))
+        if not outs_a:
+            return empty
         return pa.table(
             {
-                "a": pa.array(a),
-                "b": pa.array(b),
-                "cosine": pa.array(round_sql(sims[xi, yi], ndigits)),
+                "a": pa.array(np.concatenate(outs_a)),
+                "b": pa.array(np.concatenate(outs_b)),
+                "cosine": pa.array(np.concatenate(outs_c)),
             }
         )
 
     cand = (
         ds.map_batches(bucket_rows, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .sort(["band", "key"])
+        .map_batches(
+            bucket_pairs_block, batch_format="pyarrow", batch_size=None
+        )
     )
-    # same pair found in several bands -> keep one (distributed dedup)
-    return cand.groupby(["a", "b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+
+    def first_rows(t: pa.Table) -> pa.Table:
+        # same pair found in several bands -> keep one; rows arrive
+        # (a, b)-sorted, duplicates are adjacent runs (the cosine is
+        # the same exact value in every copy, so which row survives is
+        # immaterial — but run-starts are deterministic anyway). This
+        # replaces a per-PAIR map_groups lambda (one Python call per
+        # candidate pair at corpus scale).
+        n = t.num_rows
+        if n == 0:
+            return t
+        a = np.asarray(t["a"], dtype=np.int64)
+        b = np.asarray(t["b"], dtype=np.int64)
+        starts = np.concatenate(
+            ([0], np.flatnonzero((np.diff(a) != 0) | (np.diff(b) != 0)) + 1)
+        )
+        return t.take(pa.array(starts))
+
+    # distributed dedup, blockwise-vectorized over the sorted pair list
+    return cand.sort(["a", "b"]).map_batches(
+        first_rows, batch_format="pyarrow", batch_size=None
     )
 
 
