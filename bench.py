@@ -205,8 +205,14 @@ def _bench_pass(sf_dir: str, num_cpus: int) -> tuple[dict, dict]:
             {"doc_id": rank_lookup(t, _ray.get(kref)), "text": t["content"]}
         )
 
+    import ray as _r
+
+    n_blocks = int(_r.cluster_resources().get("CPU", 8)) * 2
     code_docs = rd.read_parquet(
-        corpus_path, columns=["repo", "path", "content"]
+        corpus_path, columns=["repo", "path", "content"],
+        # the corpus dir has ~10 files; without an override the dedup
+        # stages downstream run <=10 tasks on a 32-cpu box
+        override_num_blocks=n_blocks,
     ).map_batches(to_docs, batch_format="pyarrow")
     t0 = time.time()
     pairs_40k = minhash_near_duplicates(code_docs, threshold=0.5).materialize()
