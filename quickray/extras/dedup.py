@@ -122,13 +122,15 @@ def exact_duplicates(ds: "rd.Dataset") -> "rd.Dataset":
     """Hash-partitioned exact dedup: (keep_doc_id = min, group_size).
     Equivalent SQL: SELECT min(doc_id), count(*) FROM t GROUP BY text.
 
-    Groups are co-located by sorting on (h, doc_id) and reduced
-    blockwise-vectorized (boundary np.diff per block; group min = first
-    row of each run thanks to the doc_id sort key) — the group count is
-    CORPUS-sized (every distinct doc is its own group), so a per-group
-    Python UDF (`map_groups`) would pay ~10^12 interpreter calls at
-    target scale. Same equal-keys-stay-in-one-block invariant Ray's
-    map_groups itself relies on (ray/data/grouped_data.py:225-243)."""
+    Groups are co-located by sorting on h ALONE and reduced
+    blockwise-vectorized (boundary scan per block; group min via
+    minimum.reduceat over the runs) — the group count is CORPUS-sized
+    (every distinct doc is its own group), so a per-group Python UDF
+    (`map_groups`) would pay ~10^12 interpreter calls at target scale.
+    Equal SORT keys never split across blocks — the invariant Ray's
+    map_groups itself relies on (ray/data/grouped_data.py:225-243);
+    the sort key must be EXACTLY the group key (a composite
+    (h, doc_id) sort would place range boundaries inside an h-run)."""
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         hs = [hashlib.sha256(s.encode()).hexdigest() for s in batch["text"].to_pylist()]
@@ -153,14 +155,14 @@ def exact_duplicates(ds: "rd.Dataset") -> "rd.Dataset":
         ids = np.asarray(t["doc_id"], dtype=np.int64)
         return pa.table(
             {
-                "keep_doc_id": pa.array(ids[starts]),
+                "keep_doc_id": pa.array(np.minimum.reduceat(ids, starts)),
                 "group_size": pa.array(np.diff(np.append(starts, n))),
             }
         )
 
     return (
         ds.map_batches(hash_batch, batch_format="pyarrow")
-        .sort(["h", "doc_id"])
+        .sort("h")
         .map_batches(agg_block, batch_format="pyarrow", batch_size=None)
     )
 

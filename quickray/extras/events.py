@@ -6,8 +6,9 @@ pipeline needs, built Ray-Data-first).
 Scale pattern: tumbling windows pre-aggregate per batch (combiner)
 before the groupby — the shuffle moves one row per (window, type) per
 batch, not one per event. Sessionization co-locates each user's events
-with groupby(user_id).map_groups and runs vectorized inside the group;
-user_id is the partition key an event pipeline would reuse end-to-end.
+with one (user_id, ts, event_id) sort and reduces sorted blocks
+vectorized (no per-user Python); user_id is the partition key an event
+pipeline would reuse end-to-end.
 """
 
 from __future__ import annotations
@@ -78,21 +79,53 @@ def window_aggregate(ds, window_sec: int = 3600):
 def sessionize(ds, gap_sec: int = 1800):
     """Per-user session counts: a session break is a gap > gap_sec
     between consecutive events (ordered by (ts, event_id) so ties are
-    deterministic). Returns (user_id, n_events, n_sessions)."""
+    deterministic). Returns (user_id, n_events, n_sessions).
 
-    def per_user(t: pa.Table) -> pa.Table:
+    Fully vectorized over sorted blocks: sorting on user_id ALONE
+    co-locates each user's events in one block (equal SORT keys never
+    split across blocks — the invariant Ray's map_groups itself relies
+    on, ray/data/grouped_data.py:225-243; adding ts to the sort key
+    would break it: range boundaries on the full tuple can cut
+    mid-user), an in-block lexsort orders rows by (user, ts, event_id),
+    then one np.diff finds user runs and a cumsum boundary-difference
+    counts each run's gap breaks — no per-user Python call (the user
+    count is corpus-scale at target size)."""
+    gap_us = gap_sec * 10**6
+
+    def per_block(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                }
+            )
+        u = np.asarray(t["user_id"], dtype=np.int64)
         ts = _epoch_us(t["ts"])  # full precision: ordering + gaps
         eid = np.asarray(t["event_id"], dtype=np.int64)
-        order = np.lexsort((eid, ts))
-        ts = ts[order]
-        gap_us = gap_sec * 10**6
-        breaks = int((np.diff(ts) > gap_us).sum()) if len(ts) > 1 else 0
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(u) != 0) + 1))
+        ends = np.append(starts[1:], n)
+        # break mask between consecutive rows of the SAME user; per-run
+        # break counts via cumsum difference (reduceat over many tiny
+        # segments is measurably slower)
+        if n > 1:
+            brk = (np.diff(ts) > gap_us) & (u[1:] == u[:-1])
+            c = np.concatenate(([0], np.cumsum(brk)))
+            breaks = c[ends - 1] - c[starts]
+        else:
+            breaks = np.zeros(1, np.int64)
         return pa.table(
             {
-                "user_id": pa.array([t["user_id"][0].as_py()], pa.int64()),
-                "n_events": pa.array([len(ts)], pa.int64()),
-                "n_sessions": pa.array([1 + breaks], pa.int64()),
+                "user_id": pa.array(u[starts]),
+                "n_events": pa.array(ends - starts),
+                "n_sessions": pa.array(1 + breaks),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return ds.sort("user_id").map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )

@@ -546,3 +546,52 @@ def test_dedup_corpus_broadcast_anti_filter(ray_session):
     )
     same = dedup_corpus(rd.from_arrow(docs), rd.from_arrow(noop)).to_pandas()
     assert sorted(same["doc_id"].tolist()) == [0, 1, 2, 3, 4]
+
+
+def test_exact_dedup_groups_span_many_blocks(ray_session):
+    """Sorted-block reduction must not split an h-group across blocks:
+    with only 3 distinct texts spread over 16 input blocks, range
+    boundaries would cut inside a run if the sort key were composite
+    (the (h, doc_id) sort bug: duplicate keep rows per group). One
+    output row per distinct text, min id + full count."""
+    import ray.data as rd
+
+    from quickray.extras.dedup import exact_duplicates
+
+    n = 3000
+    texts = [f"text number {i % 3}" for i in range(n)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+    })).repartition(16)
+    out = exact_duplicates(ds).to_pandas().sort_values("keep_doc_id")
+    assert out["keep_doc_id"].tolist() == [0, 1, 2]
+    assert out["group_size"].tolist() == [1000, 1000, 1000]
+
+
+def test_sessionize_users_span_many_blocks(ray_session):
+    """Same straddle hazard for sessionize: 4 users x 500 unordered
+    events over 16 blocks must yield exactly one row per user with
+    order-independent session counts."""
+    import ray.data as rd
+
+    from quickray.extras.events import sessionize
+
+    rng = np.random.default_rng(3)
+    n_users, per_user = 4, 500
+    uid = np.repeat(np.arange(n_users, dtype=np.int64), per_user)
+    # events 10 min apart with a >30-min gap after every 100th event
+    base = np.arange(per_user, dtype=np.int64) * 600
+    base += (np.arange(per_user) // 100) * 3600  # 4 breaks -> 5 sessions
+    ts = np.tile(base, n_users)
+    eid = np.arange(len(uid), dtype=np.int64)
+    perm = rng.permutation(len(uid))  # arrival order is shuffled
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array(uid[perm]),
+        "ts": pa.array(ts[perm] * 10**6).cast(pa.timestamp("us")),
+        "event_id": pa.array(eid[perm]),
+    })).repartition(16)
+    out = sessionize(ds, gap_sec=1800).to_pandas().sort_values("user_id")
+    assert out["user_id"].tolist() == [0, 1, 2, 3]
+    assert (out["n_events"] == per_user).all()
+    assert (out["n_sessions"] == 5).all()
