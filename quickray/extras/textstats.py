@@ -66,22 +66,27 @@ def token_stats(ds: "rd.Dataset") -> "rd.Dataset":
 def quality_scores(ds: "rd.Dataset", stopwords=STOPWORDS, ndigits: int = 4) -> "rd.Dataset":
     """Per-doc quality features: token count, stopword ratio, mean token
     length — the cheap heuristics a pretraining pipeline filters on."""
-    stop = set(stopwords)
+    stop_arr = pa.array(sorted(set(stopwords)), pa.string())
 
     def per_batch(batch: pa.Table) -> pa.Table:
         flat, parents = flatten_tokens(batch["text"])
         par = np.asarray(parents)
         n = batch.num_rows
-        n_tok = np.zeros(n, np.int64)
-        np.add.at(n_tok, par, 1)
-        is_stop = np.fromiter(
-            (t in stop for t in flat.to_pylist()), dtype=np.int64, count=len(flat)
-        )
-        n_stop = np.zeros(n, np.int64)
-        np.add.at(n_stop, par, is_stop)
+        # vectorized membership + segment sums (pc.is_in + bincount):
+        # per-token Python set probes and np.add.at are hot-path
+        # anti-patterns at corpus scale; float64 weights of small ints
+        # are exact (< 2^53)
+        is_stop = np.asarray(
+            pc.is_in(flat, value_set=stop_arr)
+        ).astype(np.float64)
         tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
-        len_sum = np.zeros(n, np.int64)
-        np.add.at(len_sum, par, tok_len)
+        n_tok = np.bincount(par, minlength=n).astype(np.int64)
+        n_stop = np.bincount(
+            par, weights=is_stop, minlength=n
+        ).astype(np.int64)
+        len_sum = np.bincount(
+            par, weights=tok_len.astype(np.float64), minlength=n
+        ).astype(np.int64)
         denom = np.maximum(1, n_tok).astype(np.float64)
         return pa.table(
             {

@@ -398,21 +398,27 @@ def quality_pipeline(sf_dir: str) -> pa.Table:
     value-hash can't be bitten by rounding-mode differences)."""
     from quickray.extras.textstats import STOPWORDS
 
+    stop_arr = pa.array(sorted(set(STOPWORDS)), pa.string())
+
     def per_batch(batch: pa.Table) -> pa.Table:
         flat, parents = flatten_tokens(batch["text"])
         par = np.asarray(parents)
         n = batch.num_rows
-        n_tok = np.zeros(n, np.int64)
-        np.add.at(n_tok, par, 1)
-        stop = set(STOPWORDS)
-        is_stop = np.fromiter(
-            (t in stop for t in flat.to_pylist()), dtype=np.int64, count=len(flat)
-        )
-        n_stop = np.zeros(n, np.int64)
-        np.add.at(n_stop, par, is_stop)
-        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
-        len_sum = np.zeros(n, np.int64)
-        np.add.at(len_sum, par, tok_len)
+        # vectorized membership + segment sums: per-token Python set
+        # probes and np.add.at (~100 ns/element) are both hot-path
+        # anti-patterns at corpus scale; bincount weights of small ints
+        # are float64-exact (< 2^53)
+        is_stop = np.asarray(
+            pc.is_in(flat, value_set=stop_arr)
+        ).astype(np.float64)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        n_tok = np.bincount(par, minlength=n).astype(np.int64)
+        n_stop = np.bincount(
+            par, weights=is_stop, minlength=n
+        ).astype(np.int64)
+        len_sum = np.bincount(
+            par, weights=tok_len.astype(np.float64), minlength=n
+        ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

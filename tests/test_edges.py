@@ -595,3 +595,40 @@ def test_sessionize_users_span_many_blocks(ray_session):
     assert out["user_id"].tolist() == [0, 1, 2, 3]
     assert (out["n_events"] == per_user).all()
     assert (out["n_sessions"] == 5).all()
+
+
+def test_quality_scores_consistent_with_counts(ray_session):
+    """quality_scores (ratio form) must agree with the oracle-backed
+    integer counts of quality_pipeline on the same docs — and its
+    vectorized stopword membership (pc.is_in + bincount) must match a
+    plain Python recount."""
+    import ray.data as rd
+
+    from quickray.extras.textstats import STOPWORDS, quality_scores
+    from quickray.tokenize import flatten_tokens
+
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+        "text": pa.array([
+            "the quick brown fox and the lazy dog",
+            "func main() { return the }",
+            "",
+            "a a a of of IN In in",
+        ]),
+    })
+    out = (
+        quality_scores(rd.from_arrow(docs))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    flat, parents = flatten_tokens(docs["text"])
+    toks, par = flat.to_pylist(), list(parents.to_pylist())
+    stop = set(STOPWORDS)
+    for i in range(4):
+        mine = [t for t, p in zip(toks, par) if p == i]
+        n, s = len(mine), sum(t in stop for t in mine)
+        assert out.loc[i, "n_tokens"] == n
+        denom = max(1, n)
+        assert out.loc[i, "stop_ratio"] == round(s / denom, 4)
+        assert out.loc[i, "mean_tok_len"] == round(
+            sum(map(len, mine)) / denom, 4
+        )
