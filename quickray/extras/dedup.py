@@ -143,15 +143,9 @@ def exact_duplicates(ds: "rd.Dataset") -> "rd.Dataset":
                 {"keep_doc_id": pa.array([], pa.int64()),
                  "group_size": pa.array([], pa.int64())}
             )
-        import pyarrow.compute as pc
+        from quickray.util import run_starts
 
-        col = t["h"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        neq = pc.invert(pc.equal(col.slice(0, n - 1), col.slice(1, n)))
-        starts = np.concatenate(
-            ([0], np.flatnonzero(np.asarray(neq)) + 1)
-        )
+        starts = run_starts(t["h"])
         ids = np.asarray(t["doc_id"], dtype=np.int64)
         return pa.table(
             {
@@ -419,10 +413,9 @@ def minhash_candidate_pairs(
     5x faster at 640k buckets). Enumeration inside a bucket is
     vectorized (triu_indices) and capped at ``bucket_cap`` ids
     (signature-digest sub-grouping above — see _pairs_from_ids); the
-    same pair colliding in several bands is deduped by a NATIVE (a, b)
-    groupby-count (no per-group Python) — all distributed, nothing
-    driver-side."""
-    from ray.data.aggregate import Count
+    same pair colliding in several bands is deduped by the same sorted-
+    block run-start take (no per-group Python) — all distributed,
+    nothing driver-side."""
 
     def enum_buckets(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -431,12 +424,13 @@ def minhash_candidate_pairs(
         n = t.num_rows
         if n == 0:
             return empty
+        from quickray.util import run_starts
+
         band = np.asarray(t["band"], dtype=np.int64)
         bkey = np.asarray(t["band_key"], dtype=np.int64)
         doc = np.asarray(t["doc_id"], dtype=np.int64)
         dig = np.asarray(t["sig_digest"], dtype=np.int64)
-        brk = np.flatnonzero((np.diff(band) != 0) | (np.diff(bkey) != 0))
-        starts = np.concatenate(([0], brk + 1, [n]))
+        starts = np.append(run_starts(band, bkey), n)
         lens = np.diff(starts)
         outs_a, outs_b = [], []
         for gi in np.flatnonzero(lens >= 2):
@@ -461,12 +455,22 @@ def minhash_candidate_pairs(
     cand = sigs.sort(["band", "band_key"]).map_batches(
         enum_buckets, batch_format="pyarrow", batch_size=None
     )
-    return (
-        cand.groupby(["a", "b"])
-        .aggregate(Count(alias_name="_nbands"))
-        .map_batches(
-            lambda t: t.select(["a", "b"]), batch_format="pyarrow"
-        )
+
+    def first_rows(t: pa.Table) -> pa.Table:
+        # same pair colliding in several bands -> keep one: rows arrive
+        # (a, b)-sorted, duplicates are adjacent runs (sort + blockwise
+        # run-start take; Ray's sort-shuffle aggregate loops groups in
+        # Python — measured 9 s vs 1 s on 640k tiny groups)
+        from quickray.util import run_starts
+
+        if t.num_rows == 0:
+            return t
+        a = np.asarray(t["a"], dtype=np.int64)
+        b = np.asarray(t["b"], dtype=np.int64)
+        return t.take(pa.array(run_starts(a, b)))
+
+    return cand.sort(["a", "b"]).map_batches(
+        first_rows, batch_format="pyarrow", batch_size=None
     )
 
 

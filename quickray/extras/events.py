@@ -6,9 +6,10 @@ pipeline needs, built Ray-Data-first).
 Scale pattern: tumbling windows pre-aggregate per batch (combiner)
 before the groupby — the shuffle moves one row per (window, type) per
 batch, not one per event. Sessionization co-locates each user's events
-with one (user_id, ts, event_id) sort and reduces sorted blocks
-vectorized (no per-user Python); user_id is the partition key an event
-pipeline would reuse end-to-end.
+by sorting on user_id ALONE (the sort key must be exactly the group
+key — see quickray.util.run_starts), orders within users via in-block
+lexsort, and reduces sorted blocks vectorized (no per-user Python);
+user_id is the partition key an event pipeline would reuse end-to-end.
 """
 
 from __future__ import annotations
@@ -102,12 +103,14 @@ def sessionize(ds, gap_sec: int = 1800):
                     "n_sessions": pa.array([], pa.int64()),
                 }
             )
+        from quickray.util import run_starts
+
         u = np.asarray(t["user_id"], dtype=np.int64)
         ts = _epoch_us(t["ts"])  # full precision: ordering + gaps
         eid = np.asarray(t["event_id"], dtype=np.int64)
         order = np.lexsort((eid, ts, u))
         u, ts = u[order], ts[order]
-        starts = np.concatenate(([0], np.flatnonzero(np.diff(u) != 0) + 1))
+        starts = run_starts(u)
         ends = np.append(starts[1:], n)
         # break mask between consecutive rows of the SAME user; per-run
         # break counts via cumsum difference (reduceat over many tiny

@@ -329,10 +329,11 @@ def lsh_near_dup_pairs(
         n = t.num_rows
         if n == 0:
             return empty
+        from quickray.util import run_starts
+
         band = np.asarray(t["band"], dtype=np.int64)
         key = np.asarray(t["key"], dtype=np.int64)
-        brk = np.flatnonzero((np.diff(band) != 0) | (np.diff(key) != 0))
-        starts = np.concatenate(([0], brk + 1, [n]))
+        starts = np.append(run_starts(band, key), n)
         lens = np.diff(starts)
         multi = np.flatnonzero(lens >= 2)
         if not len(multi):
@@ -379,15 +380,14 @@ def lsh_near_dup_pairs(
         # immaterial — but run-starts are deterministic anyway). This
         # replaces a per-PAIR map_groups lambda (one Python call per
         # candidate pair at corpus scale).
+        from quickray.util import run_starts
+
         n = t.num_rows
         if n == 0:
             return t
         a = np.asarray(t["a"], dtype=np.int64)
         b = np.asarray(t["b"], dtype=np.int64)
-        starts = np.concatenate(
-            ([0], np.flatnonzero((np.diff(a) != 0) | (np.diff(b) != 0)) + 1)
-        )
-        return t.take(pa.array(starts))
+        return t.take(pa.array(run_starts(a, b)))
 
     # distributed dedup, blockwise-vectorized over the sorted pair list
     return cand.sort(["a", "b"]).map_batches(

@@ -15,6 +15,43 @@ def stable_hash_str(s: str) -> int:
     return zlib.crc32(s.encode())
 
 
+def run_starts(*key_cols: np.ndarray) -> np.ndarray:
+    """Start indices of equal-key runs in KEY-SORTED columns (composite
+    keys: pass each column; a run breaks where ANY column changes).
+    Returns [0, ...breaks...] for n > 0 rows — append n for run ends.
+
+    This is the kernel of the sorted-block groupby pattern: a Ray
+    `ds.sort(key)` co-locates equal SORT keys in one block (the
+    invariant Ray's own map_groups relies on,
+    ray/data/grouped_data.py:225-243; sort outputs are never re-split,
+    plan_all_to_all_op.py passes target_max_block_size=None), so a
+    `map_batches(fn, batch_size=None)` sees whole groups and reduces
+    them vectorized with no per-group Python UDF call. CONTRACT: the
+    sort key must be EXACTLY the group key — sorting by a composite
+    (group_key, order_col) places range boundaries inside a group and
+    splits it across blocks; order within runs with an in-block
+    lexsort instead.
+
+    Accepts numpy arrays or Arrow (Chunked)Arrays; Arrow columns (e.g.
+    strings) compare via pc.equal on slices so they never materialize
+    per-row Python objects."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(key_cols[0])
+    brk = np.zeros(max(0, n - 1), dtype=bool)
+    for c in key_cols:
+        if isinstance(c, (pa.Array, pa.ChunkedArray)):
+            cc = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            brk |= np.asarray(
+                pc.invert(pc.equal(cc.slice(0, n - 1), cc.slice(1, n)))
+            )
+        else:
+            a = np.asarray(c)
+            brk |= a[1:] != a[:-1]
+    return np.concatenate(([0], np.flatnonzero(brk) + 1))
+
+
 def round_sql(x, d: int):
     """Round half away from zero — DuckDB's round(), NOT numpy's
     banker's rounding. Float columns compared against oracle SQL must go

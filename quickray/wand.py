@@ -107,12 +107,19 @@ def block_max_topk(engine, terms: list[str], q: Query):
                 if not getattr(index, "_bits_absent", False):
                     try:
                         bits = index.docmeta_arrays(("bits",))["bits"]
-                    except (OSError, KeyError, pa.ArrowInvalid):
+                    except (KeyError, FileNotFoundError, pa.ArrowInvalid):
                         # builds predating the docmeta bits column
                         # (Index preload tolerates them the same way);
-                        # remember the absence so later queries skip
-                        # the parquet open + exception on the hot path
+                        # remember the GENUINE absence (missing column
+                        # / missing docmeta dir / schema mismatch) so
+                        # later queries skip the parquet open +
+                        # exception on the hot path
                         index._bits_absent = True
+                    except OSError:
+                        # transient read failure (EIO/EMFILE under
+                        # load): fall back for THIS query only, retry
+                        # the cacheable read on the next one
+                        pass
                 if bits is None:
                     # bits are doc-level and replicated into every
                     # posting, so the slice this query needs
