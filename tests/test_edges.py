@@ -632,3 +632,25 @@ def test_quality_scores_consistent_with_counts(ray_session):
         assert out.loc[i, "mean_tok_len"] == round(
             sum(map(len, mine)) / denom, 4
         )
+
+
+def test_run_starts_contract():
+    """quickray.util.run_starts: numpy + Arrow key columns, composite
+    keys, empty input — the shared kernel under every sorted-block
+    reduction."""
+    from quickray.util import run_starts
+
+    a = np.array([1, 1, 2, 2, 2, 3])
+    assert run_starts(a).tolist() == [0, 2, 5]
+    # composite: break where ANY column changes
+    b = np.array([7, 8, 8, 8, 9, 9])
+    assert run_starts(a, b).tolist() == [0, 1, 2, 4, 5]
+    # Arrow string column (never materializes Python objects)
+    s = pa.array(["x", "x", "y", "y", "y", "z"])
+    assert run_starts(s).tolist() == [0, 2, 5]
+    # chunked arrow + numpy mix
+    ch = pa.chunked_array([["x", "x"], ["y", "y", "y", "z"]])
+    assert run_starts(ch, a).tolist() == [0, 2, 5]
+    # single row and empty
+    assert run_starts(np.array([42])).tolist() == [0]
+    assert run_starts(np.array([], dtype=np.int64)).tolist() == [0]
