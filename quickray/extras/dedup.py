@@ -450,7 +450,10 @@ def minhash_candidate_pairs(
     sigs = ds.map_batches(
         _make_sig_fn(num_perm, bands, shingle_k),
         batch_format="pyarrow",
-        batch_size=1024,  # bounds the (perm_chunk x shingles) intermediate
+        # bounds the (perm_chunk x shingles) intermediate (~40 MB at 16
+        # perms x ~300k shingles); 2048 measured ~45% faster than 1024
+        # serially (fewer per-batch fixed costs), identical output
+        batch_size=2048,
     )
     cand = sigs.sort(["band", "band_key"]).map_batches(
         enum_buckets, batch_format="pyarrow", batch_size=None
