@@ -63,6 +63,7 @@ from quickray.checkpoint import Manifest
 from quickray.merge import make_final_merge, make_level1_merge
 from quickray.schema import BLOCK_SIZE, LANGS
 from quickray.tokenize import Tokenizer, flatten_tokens, rank_lookup
+from quickray.util import sum_by_key
 
 
 
@@ -637,13 +638,17 @@ def build_index(
         # set only steers level-1 partitioning (salting), never final
         # index content, so sampling cannot change the output.
         sampled_threshold = int(threshold / sample_mod)
+        # sum-by-term as a sort + blockwise reduction: the group count
+        # is VOCABULARY-scale, where the native aggregate's per-group
+        # Python loop dominates (util.sum_by_key)
         hot_rows = (
-            rd.read_parquet(
-                docbase_dir, columns=["term", "partial_df", "kind"],
-                filter=pads.field("kind") == 1,
+            sum_by_key(
+                rd.read_parquet(
+                    docbase_dir, columns=["term", "partial_df", "kind"],
+                    filter=pads.field("kind") == 1,
+                ),
+                "term", sums=[("partial_df", "df")],
             )
-            .groupby("term")
-            .aggregate(Sum("partial_df", alias_name="df"))
             .map_batches(
                 lambda t: t.filter(
                     np.asarray(t["df"]) > sampled_threshold
@@ -687,13 +692,13 @@ def build_index(
                 )})
 
             frows = (
-                rd.read_parquet(
-                    docbase_dir, columns=list(field_cols) + ["kind"],
-                    filter=pads.field("kind") == 0,
+                sum_by_key(
+                    rd.read_parquet(
+                        docbase_dir, columns=list(field_cols) + ["kind"],
+                        filter=pads.field("kind") == 0,
+                    ).map_batches(_melt_keys, batch_format="pyarrow"),
+                    "w", count_as="fdf",
                 )
-                .map_batches(_melt_keys, batch_format="pyarrow")
-                .groupby("w")
-                .aggregate(Count(alias_name="fdf"))
                 .map_batches(
                     lambda t: t.filter(np.asarray(t["fdf"]) > threshold),
                     batch_format="pyarrow",

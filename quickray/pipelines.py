@@ -113,13 +113,16 @@ def term_df(sf_dir: str) -> pa.Table:
             }
         )
 
-    res = (
-        _docs_ds(sf_dir, ["doc_id", "text"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("pdf", alias_name="df"), Sum("pcf", alias_name="cf"))
+    from quickray.util import sum_by_key
+
+    # sum-by-term over VOCABULARY-scale groups: sort + blockwise
+    # reduction, not the native aggregate's per-group Python loop
+    return sum_by_key(
+        _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        "term", sums=[("pdf", "df"), ("pcf", "cf")],
     )
-    return res
 
 
 def doc_stats(sf_dir: str) -> pa.Table:
@@ -335,6 +338,9 @@ def top_users_by_value(sf_dir: str) -> pa.Table:
             t = t.filter(pc.greater_equal(t["vsum"], kth))
         return t
 
+    # stays on the native aggregate despite user-scale groups: vsum is
+    # a FLOAT sum, and util.sum_by_key's cumsum-difference would change
+    # float summation semantics (prefix cancellation) vs per-group adds
     parts = (
         _events_ds(sf_dir, ["user_id", "value"])
         .groupby("user_id")

@@ -52,6 +52,50 @@ def run_starts(*key_cols: np.ndarray) -> np.ndarray:
     return np.concatenate(([0], np.flatnonzero(brk) + 1))
 
 
+def sum_by_key(ds, key: str, sums=(), count_as: str | None = None):
+    """INTEGER sum-by-key / count-by-key as a key sort + blockwise
+    cumsum-difference reduction (see run_starts for the co-location
+    contract). Replaces `groupby(key).aggregate(Sum/Count)` where the
+    group count is corpus-scale (vocabulary terms, users): Ray's
+    sort-shuffle aggregate loops groups in Python, measured 9 s vs 1 s
+    on 640k tiny groups. Integer-only on purpose — a float
+    cumsum-difference changes summation semantics (prefix
+    cancellation); float aggregates stay on the native path.
+
+    ``sums``: iterable of (value_col, out_name); ``count_as``: emit a
+    row count per key under this name. Output columns: key, *outs."""
+    import pyarrow as pa
+
+    sums = tuple(sums)
+
+    def block(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            cols = {key: t[key]}
+            for _, out in sums:
+                cols[out] = pa.array([], pa.int64())
+            if count_as:
+                cols[count_as] = pa.array([], pa.int64())
+            return pa.table(cols)
+        starts = run_starts(t[key])
+        ends = np.append(starts[1:], n)
+        kc = t[key]
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        cols = {key: kc.take(pa.array(starts))}
+        for val, out in sums:
+            v = np.asarray(t[val], dtype=np.int64)
+            c = np.concatenate(([0], np.cumsum(v)))
+            cols[out] = pa.array(c[ends] - c[starts])
+        if count_as:
+            cols[count_as] = pa.array((ends - starts).astype(np.int64))
+        return pa.table(cols)
+
+    return ds.sort(key).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )
+
+
 def round_sql(x, d: int):
     """Round half away from zero — DuckDB's round(), NOT numpy's
     banker's rounding. Float columns compared against oracle SQL must go
