@@ -29,7 +29,7 @@ from quickray.corpus import documents_as_corpus
 from quickray.engine import Index, LocalEngine
 from quickray.query import And, Or, Query, Term
 from quickray.tokenize import flatten_tokens
-from quickray.util import round_sql, topk_rounded
+from quickray.util import round_sql, sum_by_key, topk_rounded
 
 DOC_LANGS = ["de", "en", "es", "fr", "zh"]  # sorted; bit i = DOC_LANGS[i]
 CACHE_ROOT = "/tmp/quickray_cache"
@@ -112,8 +112,6 @@ def term_df(sf_dir: str) -> pa.Table:
                 "pcf": out["count_all_sum"],
             }
         )
-
-    from quickray.util import sum_by_key
 
     # sum-by-term over VOCABULARY-scale groups: sort + blockwise
     # reduction, not the native aggregate's per-group Python loop

@@ -34,11 +34,15 @@ def run_starts(*key_cols: np.ndarray) -> np.ndarray:
 
     Accepts numpy arrays or Arrow (Chunked)Arrays; Arrow columns (e.g.
     strings) compare via pc.equal on slices so they never materialize
-    per-row Python objects."""
+    per-row Python objects. n == 0 returns [0] for every column kind
+    (callers typically guard empty blocks, but the sentinel is
+    consistent either way)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     n = len(key_cols[0])
+    if n == 0:
+        return np.array([0], dtype=np.int64)
     brk = np.zeros(max(0, n - 1), dtype=bool)
     for c in key_cols:
         if isinstance(c, (pa.Array, pa.ChunkedArray)):
@@ -77,14 +81,29 @@ def sum_by_key(ds, key: str, sums=(), count_as: str | None = None):
             if count_as:
                 cols[count_as] = pa.array([], pa.int64())
             return pa.table(cols)
-        starts = run_starts(t[key])
-        ends = np.append(starts[1:], n)
         kc = t[key]
         if isinstance(kc, pa.ChunkedArray):
             kc = kc.combine_chunks()
+        if kc.null_count:
+            raise ValueError(f"sum_by_key: null values in key {key!r}")
+        starts = run_starts(kc)
+        ends = np.append(starts[1:], n)
         cols = {key: kc.take(pa.array(starts))}
         for val, out in sums:
-            v = np.asarray(t[val], dtype=np.int64)
+            vc = t[val]
+            vt = vc.type
+            # enforce the documented integer/no-null contract LOUDLY:
+            # np.asarray(int64) would map a null to INT64_MIN and
+            # truncate floats toward zero, silently corrupting sums
+            if not (pa.types.is_integer(vt) or pa.types.is_boolean(vt)):
+                raise ValueError(
+                    f"sum_by_key: {val!r} is {vt}; integer columns only"
+                    " (float sums change summation semantics — use the"
+                    " native aggregate)"
+                )
+            if vc.null_count:
+                raise ValueError(f"sum_by_key: null values in {val!r}")
+            v = np.asarray(vc, dtype=np.int64)
             c = np.concatenate(([0], np.cumsum(v)))
             cols[out] = pa.array(c[ends] - c[starts])
         if count_as:

@@ -651,6 +651,47 @@ def test_run_starts_contract():
     # chunked arrow + numpy mix
     ch = pa.chunked_array([["x", "x"], ["y", "y", "y", "z"]])
     assert run_starts(ch, a).tolist() == [0, 2, 5]
-    # single row and empty
+    # single row and empty (numpy AND Arrow agree on the [0] sentinel)
     assert run_starts(np.array([42])).tolist() == [0]
     assert run_starts(np.array([], dtype=np.int64)).tolist() == [0]
+    assert run_starts(pa.array([], pa.string())).tolist() == [0]
+
+
+def test_sum_by_key_multiblock_and_guards(ray_session):
+    """sum_by_key over keys spread across 16 blocks: one output row per
+    key with exact sums/counts (the sort co-location invariant under
+    the build's hot-term detection and term_df), and LOUD rejection of
+    float or null value columns (np.asarray(int64) would silently map
+    nulls to INT64_MIN and truncate floats)."""
+    import pytest as _pytest
+    import ray.data as rd
+
+    from quickray.util import sum_by_key
+
+    n, k = 4096, 5
+    keys = [f"key{i % k}" for i in range(n)]
+    vals = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "term": pa.array(keys), "v": pa.array(vals),
+    })).repartition(16)
+    out = (
+        sum_by_key(ds, "term", sums=[("v", "s")], count_as="m")
+        .to_pandas().sort_values("term").reset_index(drop=True)
+    )
+    assert len(out) == k  # no key split across blocks
+    for i in range(k):
+        mask = np.arange(n) % k == i
+        assert out.loc[i, "term"] == f"key{i}"
+        assert out.loc[i, "s"] == vals[mask].sum()
+        assert out.loc[i, "m"] == mask.sum()
+
+    fds = rd.from_arrow(pa.table({
+        "term": pa.array(["a", "b"]), "v": pa.array([1.5, 2.5]),
+    }))
+    with _pytest.raises(Exception, match="integer columns only"):
+        sum_by_key(fds, "term", sums=[("v", "s")]).materialize()
+    nds = rd.from_arrow(pa.table({
+        "term": pa.array(["a", "b"]), "v": pa.array([1, None], pa.int64()),
+    }))
+    with _pytest.raises(Exception, match="null values"):
+        sum_by_key(nds, "term", sums=[("v", "s")]).materialize()
