@@ -18,7 +18,7 @@ All per-batch kernels are vectorized: md5 runs once per UNIQUE token
 
 from __future__ import annotations
 
-import hashlib
+
 import logging
 
 import numpy as np
@@ -55,16 +55,13 @@ def _token_hash_u64(flat: pa.Array) -> np.ndarray:
     md5_number_upper(): little-endian int of md5 bytes [0:8]."""
     if len(flat) == 0:
         return np.empty(0, np.uint64)
+    from quickray.util import digest_slices
+
     dic = flat.dictionary_encode()
-    vocab = dic.dictionary.to_pylist()
-    th = np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-            for t in vocab
-        ),
-        dtype=np.uint64,
-        count=len(vocab),
-    )
+    # md5 once per UNIQUE token, over memoryview slices of the Arrow
+    # dictionary value buffer — no per-token Python str (digest [0:8]
+    # little-endian == DuckDB md5_number_upper)
+    th = np.frombuffer(digest_slices(dic.dictionary, "md5", 8), "<u8")
     return th[np.asarray(dic.indices, dtype=np.int64)]
 
 
@@ -133,8 +130,19 @@ def exact_duplicates(ds: "rd.Dataset") -> "rd.Dataset":
     (h, doc_id) sort would place range boundaries inside an h-run)."""
 
     def hash_batch(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.sha256(s.encode()).hexdigest() for s in batch["text"].to_pylist()]
-        return pa.table({"doc_id": batch["doc_id"], "h": pa.array(hs, pa.string())})
+        # zero-object hashing: sha256 over memoryview slices of the
+        # Arrow value buffer (util.digest_slices) — no per-row Python
+        # str is ever built; the shuffle key is the raw 32-byte digest
+        # assembled into ONE binary array from the concatenated buffer
+        from quickray.util import digest_slices
+
+        n = batch.num_rows
+        dig = digest_slices(batch["text"], "sha256", 32)
+        offs = np.arange(0, 32 * (n + 1), 32, dtype=np.int32)
+        h = pa.Array.from_buffers(
+            pa.binary(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(dig)]
+        )
+        return pa.table({"doc_id": batch["doc_id"], "h": h})
 
     def agg_block(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -909,15 +917,27 @@ def near_dup_clusters(
     )
 
 
-def dedup_corpus(ds: "rd.Dataset", clusters: "rd.Dataset") -> "rd.Dataset":
+def dedup_corpus(
+    ds: "rd.Dataset",
+    clusters: "rd.Dataset",
+    broadcast_bytes: int = 256 << 20,
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
     """Materialize the DEDUPLICATED corpus: drop every near-dup cluster
-    member except its canonical (min-doc_id) representative. The loser
-    list (members with doc_id != cluster_id) is bounded by construction,
-    so the drop is a BROADCAST anti-filter: ray.put the sorted loser-id
-    array once, and every corpus batch drops its losers with a local
-    searchsorted — embarrassingly parallel, the corpus never enters a
-    shuffle or hash join (the round-3 left-outer join hash-partitioned
-    the full corpus to apply a bounded drop list)."""
+    member except its canonical (min-doc_id) representative.
+
+    Fast path — the loser list (members with doc_id != cluster_id) fits
+    ``broadcast_bytes``: BROADCAST anti-filter. ray.put the sorted
+    loser-id array once, and every corpus batch drops its losers with a
+    local searchsorted — embarrassingly parallel, the corpus never
+    enters a shuffle or hash join (the round-3 left-outer join
+    hash-partitioned the full corpus to apply a bounded drop list).
+
+    Scale path — the loser list exceeds the budget (e.g. 10^10 docs at
+    30% dupes is ~24 GB of ids, which must never land on the driver or
+    in every worker's heap): a repartitioned LEFT ANTI hash join of the
+    corpus against the loser-id table. The corpus pays one shuffle, but
+    nothing unbounded is ever collected or broadcast."""
     import pyarrow.compute as pc
 
     import ray
@@ -929,12 +949,28 @@ def dedup_corpus(ds: "rd.Dataset", clusters: "rd.Dataset") -> "rd.Dataset":
     losers = (
         clusters.map_batches(losers_fn, batch_format="pyarrow").materialize()
     )
-    loser_ids = _bounded_ids(losers, ("doc_id",))
-    if len(loser_ids) == 0:
+    n_losers = losers.count()
+    if n_losers == 0:
         return ds
-    return ds.map_batches(
-        _make_id_filter(ray.put(loser_ids), invert=True),
-        batch_format="pyarrow",
+    if (losers.size_bytes() or 0) <= broadcast_bytes:
+        loser_ids = _bounded_ids(losers, ("doc_id",))
+        return ds.map_batches(
+            _make_id_filter(ray.put(loser_ids), invert=True),
+            batch_format="pyarrow",
+        )
+    if num_partitions is None:
+        num_partitions = _default_partitions()  # corpus-sized shuffle
+    logger.warning(
+        "dedup_corpus: loser list is %d rows / %d bytes (> %d budget);"
+        " falling back to a %d-partition anti-join over the corpus",
+        n_losers, losers.size_bytes() or 0, broadcast_bytes, num_partitions,
+    )
+    losers = _join_ready(losers, num_partitions, n_losers)
+    return ds.join(
+        losers,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("doc_id",),
     )
 
 

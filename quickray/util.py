@@ -2,9 +2,100 @@
 
 from __future__ import annotations
 
+import logging
+import os
 import zlib
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# Ray versions on which the sorted-block groupby contract (see
+# run_starts) has been verified against Ray Data internals: sort never
+# splits equal keys across output blocks (range partitioning on the
+# full key) and sort output blocks are never re-split downstream
+# (plan_all_to_all_op passes target_max_block_size=None). A Ray upgrade
+# changing either would silently turn the blockwise reductions built on
+# run_starts (sum_by_key, exact dedup, LSH bucket enumeration,
+# sessionize) into per-block partials — warn LOUDLY once so drift is
+# visible instead of corrupting results. tests/test_edges.py pins the
+# relevant Ray internals so an upgrade fails the suite, not production.
+_SORT_CONTRACT_VERIFIED_PREFIXES = ("2.49.",)
+_sort_contract_checked = False
+
+
+def _check_sort_contract() -> None:
+    global _sort_contract_checked
+    if _sort_contract_checked:
+        return
+    _sort_contract_checked = True
+    if os.environ.get("QUICKRAY_SKIP_SORT_CONTRACT_CHECK"):
+        return
+    try:
+        import ray
+
+        ver = ray.__version__
+    except Exception:  # pragma: no cover - ray always present here
+        return
+    if not ver.startswith(_SORT_CONTRACT_VERIFIED_PREFIXES):
+        logger.warning(
+            "quickray's sorted-block groupby kernels (run_starts /"
+            " sum_by_key / blockwise dedup) rely on a Ray-internal sort"
+            " invariant verified only on Ray %s — this is Ray %s."
+            " Re-verify that sort never splits equal keys across blocks"
+            " and never re-splits sort output (run tests/test_edges.py"
+            " multi-block-group regressions), then add the version to"
+            " util._SORT_CONTRACT_VERIFIED_PREFIXES. Set"
+            " QUICKRAY_SKIP_SORT_CONTRACT_CHECK=1 to silence.",
+            _SORT_CONTRACT_VERIFIED_PREFIXES,
+            ver,
+        )
+
+
+def digest_slices(arr, algo: str = "sha256", nbytes: int = 32) -> bytes:
+    """First ``nbytes`` of ``algo`` digest per element of an Arrow
+    string/binary array, concatenated into one bytes buffer — hashing
+    memoryview slices of the value buffer directly (zero per-row Python
+    string objects; the per-row cost is the hash itself). Nulls hash as
+    b'' (callers with different null semantics fill first)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+        pass
+    elif pa.types.is_large_string(arr.type) or pa.types.is_large_binary(
+        arr.type
+    ):
+        arr = arr.cast(
+            pa.binary()
+            if pa.types.is_large_binary(arr.type)
+            else pa.string()
+        )
+    else:
+        arr = arr.cast(pa.string())
+    if arr.null_count:
+        arr = pc.fill_null(arr, "" if pa.types.is_string(arr.type) else b"")
+    if arr.offset:
+        arr = pa.concat_arrays([arr])
+    n = len(arr)
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], np.int32, count=n + 1).astype(np.int64)
+    data = (
+        memoryview(bufs[2])[: offs[-1]]
+        if bufs[2] is not None
+        else memoryview(b"")
+    )
+    h = getattr(hashlib, algo)
+    out = bytearray(nbytes * n)
+    for i in range(n):
+        out[nbytes * i : nbytes * (i + 1)] = h(
+            data[offs[i] : offs[i + 1]]
+        ).digest()[:nbytes]
+    return bytes(out)
 
 
 def stable_hash_str(s: str) -> int:
@@ -40,6 +131,7 @@ def run_starts(*key_cols: np.ndarray) -> np.ndarray:
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    _check_sort_contract()
     n = len(key_cols[0])
     if n == 0:
         return np.array([0], dtype=np.int64)

@@ -548,6 +548,37 @@ def test_dedup_corpus_broadcast_anti_filter(ray_session):
     assert sorted(same["doc_id"].tolist()) == [0, 1, 2, 3, 4]
 
 
+def test_dedup_corpus_anti_join_fallback(ray_session):
+    """Above the broadcast byte budget the loser list must NOT be pulled
+    to the driver: broadcast_bytes=0 forces the left-anti hash-join
+    path, which must keep exactly the canonical rows with all corpus
+    columns (identical output to the broadcast path)."""
+    import ray.data as rd
+
+    from quickray.extras.dedup import dedup_corpus
+
+    n = 200
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array([f"l{i % 7}" for i in range(n)], pa.string()),
+        }
+    )
+    # every odd doc is a loser in cluster of its preceding even doc
+    ids = np.arange(n, dtype=np.int64)
+    clusters = pa.table(
+        {"doc_id": pa.array(ids), "cluster_id": pa.array(ids - (ids % 2))}
+    )
+    got = dedup_corpus(
+        rd.from_arrow(docs).repartition(4),
+        rd.from_arrow(clusters),
+        broadcast_bytes=0,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == list(range(0, n, 2))
+    assert got["lang"].tolist() == [f"l{i % 7}" for i in range(0, n, 2)]
+    assert list(got.columns) == ["doc_id", "lang"]
+
+
 def test_exact_dedup_groups_span_many_blocks(ray_session):
     """Sorted-block reduction must not split an h-group across blocks:
     with only 3 distinct texts spread over 16 input blocks, range
