@@ -273,6 +273,7 @@ def lsh_near_dup_pairs(
     bands: int = 4,
     seed: int = 11,
     ndigits: int = 4,
+    bucket_cap: int = 512,
 ) -> "rd.Dataset":
     """Random-hyperplane LSH near-dup: sign-bit signatures -> banded
     bucket groupby -> exact cosine verify INSIDE each bucket. Each
@@ -281,7 +282,19 @@ def lsh_near_dup_pairs(
     table — the property that lets this run at 100 TB. Recall < 1 by
     construction (collision prob (1 - theta/pi)^rows_per_band per
     band); every emitted pair is exact-verified >= threshold. Raise
-    `bands` toward n_planes for recall ~1 on bounded inputs."""
+    `bands` toward n_planes for recall ~1 on bounded inputs.
+
+    Buckets above ``bucket_cap`` members (degenerate content: many
+    identical / near-identical / zero embeddings sharing a band key)
+    must NOT build the m x m cosine matrix (a 100k-member bucket would
+    be an 80 GB float64 allocation). They sub-group by the FULL
+    n_planes sign-bit digest — the same defense as the MinHash path
+    (dedup._pairs_from_ids): star candidate pairs within each
+    identical-signature sub-group plus rep-to-rep pairs across
+    sub-groups, each candidate then exact-cosine-verified, so pair
+    count is O(m + reps^2) and memory stays bounded. Residual recall
+    loss (a member whose star edge fails verify but that matches some
+    non-rep member) is the documented tradeoff, logged by the helper."""
     rows_per_band = n_planes // bands
     dim = _embedding_dim(ds)
     planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
@@ -291,6 +304,14 @@ def lsh_near_dup_pairs(
         pl = ray.get(planes_ref)
         m = _normalize(_batch_mat(batch))
         bits = (m @ pl) > 0  # (n, n_planes)
+        # full-signature digest for oversize-bucket sub-grouping:
+        # FNV-combine the packed sign bytes into one u64 per row
+        packed = np.packbits(bits, axis=1)  # (n, ceil(n_planes/8))
+        sig = np.zeros(len(packed), np.uint64)
+        mult = np.uint64(0x100000001B3)
+        for col in packed.T:
+            sig = sig * mult + col  # u64 wraparound: stable digest
+        sig = sig.view(np.int64)
         vec_id = batch["vec_id"]
         if isinstance(vec_id, pa.ChunkedArray):
             vec_id = vec_id.combine_chunks()
@@ -308,6 +329,7 @@ def lsh_near_dup_pairs(
                         "key": pa.array(keys.astype(np.int64)),
                         "vec_id": vec_id,
                         "embedding": emb,
+                        "sig": pa.array(sig),
                     }
                 )
             )
@@ -339,22 +361,51 @@ def lsh_near_dup_pairs(
         if not len(multi):
             return empty
         ids = np.asarray(t["vec_id"], dtype=np.int64)
+        sigs = np.asarray(t["sig"], dtype=np.int64)
         mat = _normalize(_batch_mat(t))  # whole block, one pass
         outs_a, outs_b, outs_c = [], [], []
         for gi in multi:
             lo, hi = starts[gi], starts[gi + 1]
-            m = mat[lo:hi]
-            sims = m @ m.T
-            xi, yi = np.nonzero(np.triu(sims >= threshold, k=1))
-            if not len(xi):
-                continue
+            m = hi - lo
+            if m <= bucket_cap:
+                sims = mat[lo:hi] @ mat[lo:hi].T
+                xi, yi = np.nonzero(np.triu(sims >= threshold, k=1))
+                if not len(xi):
+                    continue
+                cos = sims[xi, yi]
+            else:
+                # oversize bucket: signature-digest sub-grouping (the
+                # MinHash defense, dedup._pairs_from_ids), then exact
+                # cosine on just the O(m + reps^2) candidate pairs —
+                # never the m x m matrix. Pass the VEC IDS (not local
+                # row indices) so star hubs are the per-sub-group min
+                # id, identical in every band — the cross-band pair
+                # dedup (first_rows) then collapses the copies.
+                from quickray.extras.dedup import _pairs_from_ids
+
+                gids_all = ids[lo:hi]
+                a_id, b_id = _pairs_from_ids(
+                    gids_all, sigs[lo:hi], cap=bucket_cap
+                )
+                if not len(a_id):
+                    continue
+                order = np.argsort(gids_all)
+                xi = order[np.searchsorted(gids_all[order], a_id)]
+                yi = order[np.searchsorted(gids_all[order], b_id)]
+                cos = np.einsum(
+                    "ij,ij->i", mat[lo:hi][xi], mat[lo:hi][yi]
+                )
+                keep = cos >= threshold
+                if not keep.any():
+                    continue
+                xi, yi, cos = xi[keep], yi[keep], cos[keep]
             gids = ids[lo:hi]
             a, b = gids[xi], gids[yi]
             swap = a > b
             a[swap], b[swap] = b[swap], a[swap].copy()
             outs_a.append(a)
             outs_b.append(b)
-            outs_c.append(round_sql(sims[xi, yi], ndigits))
+            outs_c.append(round_sql(cos, ndigits))
         if not outs_a:
             return empty
         return pa.table(

@@ -61,6 +61,54 @@ def test_near_dup_pairs_complete_with_permuted_ids(ray_session):
     assert len(got_pairs) == len(a)
 
 
+def test_lsh_pathological_identical_embeddings_bounded(ray_session):
+    """One degenerate bucket of thousands of IDENTICAL embeddings (every
+    band key collides) must NOT build the m x m cosine matrix: the
+    signature-digest sub-grouping emits star pairs to the min vec_id —
+    O(n) pairs, identical in every band so the cross-band dedup
+    collapses them — and clustering still connects the whole family."""
+    from quickray.extras.dedup import connected_components
+    from quickray.extras.similarity import lsh_near_dup_pairs
+
+    n = 6000
+    v = np.array([0.3, -1.2, 0.7, 2.0], np.float32)
+    emb = np.tile(v, (n, 1))
+    # a few distinct vectors too: under-cap buckets keep the exact path
+    rng = np.random.default_rng(5)
+    extra = rng.standard_normal((20, 4)).astype(np.float32)
+    mat = np.vstack([emb, extra])
+    ids = np.arange(len(mat), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(8)
+    pairs = lsh_near_dup_pairs(
+        ds, threshold=0.99, n_planes=16, bands=4, bucket_cap=512
+    ).to_pandas()
+    star = pairs[(pairs["a"] == 0) & (pairs["b"] < n)]
+    # every identical-family member reaches the hub, each pair once
+    assert len(star) == n - 1
+    assert (star["cosine"] == 1.0).all()
+    # bounded: no m^2 blowup (identical family contributes only stars)
+    assert len(pairs) < n + 400
+    clusters = connected_components(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array(pairs["a"].to_numpy(np.int64)),
+                    "b": pa.array(pairs["b"].to_numpy(np.int64)),
+                }
+            )
+        )
+    ).to_pandas()
+    fam = clusters[clusters["doc_id"] < n]
+    assert len(fam) == n
+    assert (fam["cluster_id"] == 0).all()
+
+
 def test_batch_mat_zero_copy_paths():
     m = np.arange(12, dtype=np.float64).reshape(4, 3)
     # variable-size list<double>
