@@ -475,6 +475,22 @@ def build_partitioned(
     return dirs
 
 
+def _auto_layout(n_rows: int | None, ceiling: int = 256) -> int:
+    """Default shuffle-partition / merge-shard count, scaled with the
+    corpus row count: every level-1 part and merge shard pays a ~fixed
+    task-spawn + sort-boundary cost regardless of data size, so small
+    corpora must not pay a 256-way layout (measured 6.7s vs 4.7s on a
+    40k-doc / 32-cpu build), while at 1M+ rows the count reaches the
+    256 ceiling that balances hot-term merge stragglers. Unknown row
+    count (generic Dataset source) takes the scale-safe ceiling. The
+    resolved values join the manifest layout fingerprint, so resuming
+    the same corpus re-derives the same layout and a corpus-size change
+    invalidates cleanly."""
+    if n_rows is None:
+        return ceiling
+    return max(16, min(ceiling, n_rows // 512))
+
+
 def build_index(
     source,
     out_dir: str,
@@ -483,12 +499,15 @@ def build_index(
     langs: list[str] | None = None,
     hot_df: int | None = None,
     num_salts: int = 8,
-    # 256 merge groups balance the final merge far better than 64 (the
-    # hot-term mparts stop being 4x stragglers: measured segments phase
-    # 26s -> 16s at 1M docs / 16 cpus); size these to ~8-16x the worker
-    # count at cluster scale
-    num_shards: int = 256,
-    num_parts: int = 256,
+    # None = auto-scale with the corpus row count (see _auto_layout):
+    # 256 merge groups balance the final merge far better than 64 at
+    # 1M+ docs (hot-term mparts stop being 4x stragglers: measured
+    # segments phase 26s -> 16s at 1M docs / 16 cpus) but pay ~fixed
+    # per-part shuffle spawn cost that dominates SMALL builds (measured
+    # 6.7s @ 256 vs 4.7s @ 64 on 40k docs / 32 cpus); size these to
+    # ~8-16x the worker count at cluster scale
+    num_shards: int | None = None,
+    num_parts: int | None = None,
     durable_shuffle: bool = False,
     shuffle_chunks: int = 4,
     tokenizer_concurrency: int | None = None,
@@ -524,6 +543,10 @@ def build_index(
     src = _Source(source)
     if fingerprint is not None:
         src.fingerprint = fingerprint
+    if num_parts is None or num_shards is None:
+        auto = _auto_layout(src.count_rows())
+        num_parts = auto if num_parts is None else num_parts
+        num_shards = auto if num_shards is None else num_shards
     # layout-critical params join the fingerprint: resuming a build dir
     # with a different shuffle/segment layout must invalidate, never
     # silently mix chunk bounds (the partials/segments on disk encode
