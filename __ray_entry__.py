@@ -261,13 +261,30 @@ SELECT term, count(*)::BIGINT AS df FROM tokf GROUP BY term
 
 def _tree_cand_sql(tree) -> str:
     """Boolean tree -> set-algebra SQL over tokf (INTERSECT/UNION have
-    set semantics, matching the engine's sorted-unique doc_id arrays)."""
+    set semantics, matching the engine's sorted-unique doc_id arrays).
+    A field-scoped term recalls from the metadata column the field
+    keyword was derived from (build lowercases the value)."""
     from quickray.query import And, Term
 
     if isinstance(tree, Term):
+        if tree.field:
+            return (
+                f"SELECT doc_id FROM documents"
+                f" WHERE lower({tree.field}) = '{tree.term}'"
+            )
         return f"SELECT doc_id FROM tokf WHERE term = '{tree.term}'"
     op = "INTERSECT" if isinstance(tree, And) else "UNION"
     return f"\n{op}\n".join(f"({_tree_cand_sql(c)})" for c in tree.children)
+
+
+def _sql_term(key: str) -> str:
+    """Posting KEY as a SQL expression: field keys ('field\\x01word')
+    render as 'field' || chr(1) || 'word' so the \\x01 byte never has to
+    survive a SQL string literal round-trip."""
+    if "\x01" in key:
+        f, w = key.split("\x01", 1)
+        return f"'{f}' || chr(1) || '{w}'"
+    return f"'{key}'"
 
 
 def _flag_conds(q) -> list[str]:
@@ -292,22 +309,47 @@ def _ref_queries_sql(flat_or_only: bool) -> str:
     queries = _oracle_query_set()
     if flat_or_only:
         queries = [q for q in queries if flat_or_terms(q.tree) is not None]
-    all_terms = sorted({t for q in queries for t in collect_terms(q.tree)})
-    tlist = ", ".join(f"'{t}'" for t in all_terms)
+        # the sharded pipeline adds the same fixed field-scoped arm
+        from quickray.queryset import sharded_field_queries
+
+        queries = queries + sharded_field_queries()
+    all_keys = sorted({t for q in queries for t in collect_terms(q.tree)})
+    content_terms = [t for t in all_keys if "\x01" not in t]
+    field_keys = [t for t in all_keys if "\x01" in t]
+    tlist = ", ".join(f"'{t}'" for t in content_terms)
+    # field keywords: tf = 1 per holding doc (build.py emits one tf=1
+    # posting per doc per field), df = holder count — appended as
+    # UNION ALL arms so allcontrib scores both key kinds with one BM25
+    # expression, summed per doc in ascending posting-KEY order
+    tf_arms = "".join(
+        f"\n  UNION ALL SELECT doc_id, {_sql_term(k)} AS term, 1.0::DOUBLE"
+        f" AS tf FROM documents"
+        f" WHERE lower({k.split(chr(1))[0]}) = '{k.split(chr(1))[1]}'"
+        for k in field_keys
+    )
+    df_arms = "".join(
+        f"\n  UNION ALL SELECT {_sql_term(k)} AS term, count(*)::BIGINT"
+        f" AS df FROM documents"
+        f" WHERE lower({k.split(chr(1))[0]}) = '{k.split(chr(1))[1]}'"
+        for k in field_keys
+    )
     ctes = [
         _TOK.strip(), _DL.strip(), _DF.strip(), _BITS.strip(),
         f"""alltf AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf
   FROM tokf WHERE term IN ({tlist})
-  GROUP BY doc_id, term
+  GROUP BY doc_id, term{tf_arms}
+)""",
+        f"""df2 AS (
+  SELECT term, df FROM df{df_arms}
 )""",
         """allcontrib AS (
   SELECT alltf.doc_id, alltf.term,
-         ln((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         ln((g.n_docs - df2.df + 0.5) / (df2.df + 0.5) + 1.0)
            * alltf.tf * (1.2 + 1.0)
            / (alltf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / g.avgdl)) AS c
   FROM alltf
-  JOIN df USING (term)
+  JOIN df2 USING (term)
   JOIN dl USING (doc_id)
   CROSS JOIN g
 )""",
@@ -315,7 +357,7 @@ def _ref_queries_sql(flat_or_only: bool) -> str:
     arms = []
     for q in queries:
         qid = q.id
-        qterms = ", ".join(f"'{t}'" for t in collect_terms(q.tree))
+        qterms = ", ".join(_sql_term(t) for t in collect_terms(q.tree))
         ctes.append(f"cand_{qid} AS (\n{_tree_cand_sql(q.tree)}\n)")
         conds = _flag_conds(q)
         cand_name = f"cand_{qid}"

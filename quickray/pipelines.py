@@ -746,10 +746,16 @@ def sharded_reference_queries(sf_dir: str, n_groups: int = 4):
 
     eng = docs_engine(sf_dir)
     num_shards = int(eng.index.stats.get("num_shards", 64))
+    from quickray.queryset import sharded_field_queries
+
     queries = [
         q for q in make_query_set(eng.index.df_table(), langs=DOC_LANGS)
         if flat_or_terms(q.tree) is not None
     ]
+    # field-scoped arm: 'lang\x01en' postings scatter through the same
+    # term-hash shard groups as content terms (the docs index is built
+    # with field_cols=["lang"])
+    queries += sharded_field_queries()
     k_of = {q.id: q.k for q in queries}
     qds = rd.from_items(
         [{"query": _json.dumps(q.to_json())} for q in queries]

@@ -136,3 +136,17 @@ def make_query_set(df, langs: list[str] | None = None) -> list[Query]:
     add(Or(tuple(Term(t) for t in hot[:8])), k=10)
     add(Or(tuple(Term(pick(mid, i)) for i in range(8))), k=20)
     return queries
+
+
+def sharded_field_queries() -> list[Query]:
+    """Fixed field-scoped arm for the term-sharded scatter path: a flat
+    OR mixing a field keyword ('lang\\x01en' posting, reference
+    Keyword{Field,Word} — gen/document.go:3-9) with a content term, so
+    the contrib scatter exercises BOTH key kinds across shard groups.
+    Kept out of make_query_set (the reference query set stays
+    content-only); ids are prefixed to never collide with the q### set."""
+    return [
+        Query(tree=Or((Term("en", field="lang"), Term("data"))),
+              k=10, id="qfield000"),
+        Query(tree=Term("fr", field="lang"), k=5, id="qfield001"),
+    ]
