@@ -693,9 +693,11 @@ def build_index(
 
             def _melt_keys(t: pa.Table) -> pa.Table:
                 # group by the POSTING KEY (field + '\x01' +
-                # lowercased word, null -> ''), not the raw value:
-                # 'EN' and 'en' map to the same lang\x01en posting, so
-                # their dfs must sum before the threshold test
+                # lowercased word), not the raw value: 'EN' and 'en'
+                # map to the same lang\x01en posting, so their dfs must
+                # sum before the threshold test. Null/empty values are
+                # skipped — the tokenizer emits no posting for them
+                # (reference: empty keywords are never indexed)
                 import pyarrow.compute as pc
 
                 keys = []
@@ -706,9 +708,13 @@ def build_index(
                     low = pc.utf8_lower(
                         pc.fill_null(c.cast(pa.string()), "")
                     )
-                    keys.append(pc.binary_join_element_wise(
+                    k = pc.binary_join_element_wise(
                         pa.scalar(f), low, pa.scalar("\x01")
-                    ))
+                    )
+                    keep = pc.not_equal(low, "")
+                    if not pc.all(keep).as_py():
+                        k = k.filter(keep)
+                    keys.append(k)
                 return pa.table({"w": pa.concat_arrays(
                     [k.combine_chunks() if isinstance(k, pa.ChunkedArray)
                      else k for k in keys]

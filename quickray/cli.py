@@ -54,20 +54,30 @@ def cmd_build(args: argparse.Namespace) -> int:
     return 0
 
 
-def _parse_terms(spec: str) -> tuple:
+def _parse_terms(spec: str, field_cols=None) -> tuple:
     """Comma-separated terms; 'field:word' makes a field-scoped Term
     (':' cannot appear in a content token, so the split is unambiguous;
     the posting key is field + '\x01' + word, gen/document.go:5).
-    Words are stripped + lowercased to match what the index stores
-    (the tokenizer lowercases content tokens and field values alike) —
-    the same M4 cleaning make_term_recaller applies (recall.py:67)."""
+    Words AND field names are stripped + lowercased to match what the
+    index stores (the tokenizer lowercases content tokens and field
+    values alike; field names are lowercase column names) — the same M4
+    cleaning make_term_recaller applies (recall.py:67). When the index's
+    indexed field list is known (``field_cols``), an unknown field is an
+    ERROR — 'LANGUAGE:en' would otherwise silently probe a nonexistent
+    posting key and return zero hits with no diagnostic."""
     from quickray.query import Term
 
     out = []
     for t in spec.split(","):
         if ":" in t:
             f, w = t.split(":", 1)
-            out.append(Term(w.strip().lower(), field=f.strip()))
+            f = f.strip().lower()
+            if field_cols is not None and f not in field_cols:
+                raise SystemExit(
+                    f"unknown field {f!r}: this index has field-scoped"
+                    f" postings for {sorted(field_cols)} only"
+                )
+            out.append(Term(w.strip().lower(), field=f))
         else:
             out.append(Term(t.strip().lower()))
     return tuple(out)
@@ -82,7 +92,9 @@ def cmd_query(args: argparse.Namespace) -> int:
         q = query_from_json(json.loads(args.query_json))
         q.k = args.k
     else:
-        terms = _parse_terms(args.terms)
+        terms = _parse_terms(
+            args.terms, field_cols=eng.index.stats.get("field_cols")
+        )
         tree = And(terms) if args.mode == "and" else Or(terms)
         q = Query(tree=tree, k=args.k, on_flag=args.on_flag,
                   off_flag=args.off_flag)
@@ -117,7 +129,7 @@ def cmd_delta_query(args: argparse.Namespace) -> int:
         delta_dir=(args.delta.split(",") if args.delta else None),
         deleted_keys=deleted,
     )
-    terms = _parse_terms(args.terms)
+    terms = _parse_terms(args.terms, field_cols=eng.field_cols)
     tree = And(terms) if args.mode == "and" else Or(terms)
     q = Query(tree=tree, k=args.k)
     t0 = time.time()

@@ -185,6 +185,12 @@ class DeltaEngine:
         self.engines = [LocalEngine(ix, global_stats=g) for ix in parts]
         self._part_keys = [ix._ix.keys_by_id() for ix in parts]
 
+    @property
+    def field_cols(self) -> list[str]:
+        """Indexed field-scoped columns (from the first main index —
+        parts of one logical index share a build config)."""
+        return list(self._main[0].stats.get("field_cols") or [])
+
     def search(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (keys, scores) over the live corpus. Every global
         top-k doc survives its partition's top-k (the global

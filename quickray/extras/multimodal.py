@@ -287,7 +287,10 @@ def featurize(ds: "rd.Dataset", concurrency: int = 2, batch_size: int = 64) -> "
         MediaFeaturizer,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        # autoscaling pool (min 1): a fixture-sized input with fewer
+        # blocks than the max never strands reserved actors (or warns);
+        # at scale the pool grows to the max with the block count
+        concurrency=(1, concurrency),
         num_cpus=1,
     )
 
@@ -441,7 +444,8 @@ def transform_media(
         MediaTransformer,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        # autoscaling pool (min 1) — see featurize
+        concurrency=(1, concurrency),
         num_cpus=1,
     )
 

@@ -55,9 +55,12 @@ class Oracle:
         # gen/document.go:5): one tf=1 posting per doc per field. They
         # are NOT tokens — doc_len / avgdl / total_tokens stay
         # content-only, matching the engine's stats phase.
+        # null/empty values emit NO posting (reference: empty keywords
+        # are never indexed — keyword_author.go's len(Author) > 0 guard)
         for f in field_cols or []:
             for i, v in zip(ids, table[f].to_pylist()):
-                self.postings.setdefault(f"{f}\x01{(v or '').lower()}", {})[i] = 1
+                if v:
+                    self.postings.setdefault(f"{f}\x01{v.lower()}", {})[i] = 1
         total = sum(self.doc_len.values())
         self.avgdl = total / max(1, self.n_docs)
         self.total_tokens = total

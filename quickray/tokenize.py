@@ -276,7 +276,13 @@ class Tokenizer:
         doc_id, tf=1) posting per doc per indexed field — the
         reference's Keyword{Field, Word} (build_index.go:114-127; key
         format gen/document.go:5). Field keys contain '\\x01' so they
-        can never collide with content tokens ([a-z0-9_]+)."""
+        can never collide with content tokens ([a-z0-9_]+). Null /
+        empty values emit NO posting: the reference never indexes an
+        empty keyword (Keyword.ToString returns '' for an empty Word
+        and indexing is guarded by len(Author) > 0,
+        keyword_author.go:16-54) — a 'field\\x01' posting would only
+        inflate field dfs and is unreachable via queries anyway
+        (tree_from_json drops empty-word terms)."""
         n = batch.num_rows
         out = []
         for f in self.field_cols:
@@ -287,15 +293,17 @@ class Tokenizer:
             terms = pc.binary_join_element_wise(
                 pa.array([f] * n, pa.string()), vals, "\x01"
             )
-            out.append(
-                pa.table(
-                    {
-                        "term": terms,
-                        "doc_id": row_ids,
-                        "count_all": pa.array(np.ones(n, np.int64)),
-                    }
-                )
+            keep = pc.not_equal(vals, "")
+            t = pa.table(
+                {
+                    "term": terms,
+                    "doc_id": row_ids,
+                    "count_all": pa.array(np.ones(n, np.int64)),
+                }
             )
+            if not pc.all(keep).as_py():
+                t = t.filter(keep)
+            out.append(t)
         return out
 
     def _grouped(self, batch: pa.Table):

@@ -32,11 +32,15 @@ score), while extra docs dragged in from pruned ranges score partial
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 
 from quickray.query import Query
 from quickray.scoring import flags_mask
+
+logger = logging.getLogger(__name__)
 
 EXHAUSTIVE_CUTOFF = 4096  # below this many total postings, just score
 
@@ -107,19 +111,26 @@ def block_max_topk(engine, terms: list[str], q: Query):
                 if not getattr(index, "_bits_absent", False):
                     try:
                         bits = index.docmeta_arrays(("bits",))["bits"]
-                    except (KeyError, FileNotFoundError, pa.ArrowInvalid):
+                    except (KeyError, FileNotFoundError):
                         # builds predating the docmeta bits column
                         # (Index preload tolerates them the same way);
                         # remember the GENUINE absence (missing column
-                        # / missing docmeta dir / schema mismatch) so
-                        # later queries skip the parquet open +
-                        # exception on the hot path
+                        # / missing docmeta dir) so later queries skip
+                        # the parquet open + exception on the hot path
                         index._bits_absent = True
-                    except OSError:
+                    except (OSError, pa.ArrowInvalid):
                         # transient read failure (EIO/EMFILE under
-                        # load): fall back for THIS query only, retry
-                        # the cacheable read on the next one
-                        pass
+                        # load) or a CORRUPTED docmeta file: fall back
+                        # for THIS query only — results stay identical
+                        # (bits are replicated in postings) but a
+                        # corrupt file is a real data problem that must
+                        # not be silently latched as "absent" (r04
+                        # ADVICE); warn so it gets investigated
+                        logger.warning(
+                            "docmeta bits read failed (falling back to"
+                            " posting-replicated bits for this query)",
+                            exc_info=True,
+                        )
                 if bits is None:
                     # bits are doc-level and replicated into every
                     # posting, so the slice this query needs

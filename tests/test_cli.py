@@ -31,6 +31,24 @@ def test_parse_terms_field_split_once():
     assert t == Term("a:b", field="path")
 
 
+def test_parse_terms_folds_field_name_and_validates():
+    """'LANG:en' must hit the same posting as 'lang:en' (field names are
+    lowercase column names), and a typo'd / unindexed field is a loud
+    error instead of a silent zero-hit probe (r04 ADVICE)."""
+    import pytest
+
+    (t,) = _parse_terms("LANG:EN", field_cols=["lang"])
+    assert t == Term("en", field="lang")
+    with pytest.raises(SystemExit, match="unknown field 'language'"):
+        _parse_terms("language:en", field_cols=["lang"])
+    # index with NO field postings: every field probe is diagnosable
+    with pytest.raises(SystemExit, match="unknown field"):
+        _parse_terms("lang:en", field_cols=[])
+    # unknown index metadata (field_cols=None): no validation possible
+    (t,) = _parse_terms("lang:en")
+    assert t == Term("en", field="lang")
+
+
 def test_cli_query_matches_library_and_folds_case(built_index, capsys):
     idx = Index(built_index)
     # pick the highest-df content term from the built vocabulary

@@ -726,3 +726,32 @@ def test_sum_by_key_multiblock_and_guards(ray_session):
     }))
     with _pytest.raises(Exception, match="null values"):
         sum_by_key(nds, "term", sums=[("v", "s")]).materialize()
+
+
+def test_ray_sort_contract_pinned():
+    """The sorted-block groupby kernels (run_starts / sum_by_key /
+    blockwise dedup & sessionize) rely on two Ray Data internals:
+    (1) sort range-partitions on the FULL key so equal keys land in one
+    output block, and (2) sort output is never re-split downstream
+    (plan_all_to_all_op passes target_max_block_size=None). Pin both so
+    a Ray upgrade FAILS here — visibly — instead of silently turning
+    global aggregates into per-block partials; util._check_sort_contract
+    additionally warns at runtime on unverified Ray versions."""
+    import inspect
+
+    import ray
+    from ray.data._internal.planner import plan_all_to_all_op
+
+    from quickray.util import _SORT_CONTRACT_VERIFIED_PREFIXES
+
+    assert ray.__version__.startswith(_SORT_CONTRACT_VERIFIED_PREFIXES), (
+        "Ray upgraded: re-verify the sorted-block co-location invariant"
+        " (run the multi-block-group regressions in this file), then add"
+        " the new version to util._SORT_CONTRACT_VERIFIED_PREFIXES"
+    )
+    src = inspect.getsource(plan_all_to_all_op)
+    assert "target_max_block_size=None" in src, (
+        "Ray's all-to-all planner no longer pins sort output block size;"
+        " sorted runs may be re-split across blocks — re-verify before"
+        " trusting blockwise reductions"
+    )

@@ -158,6 +158,48 @@ def test_field_hot_detection_case_folds(tmp_path, ray_session):
     )) == n
 
 
+def test_empty_field_values_never_indexed(tmp_path, ray_session):
+    """Null / empty field values must emit NO posting (reference:
+    Keyword.ToString is '' for an empty Word and indexing is guarded by
+    len(Author) > 0 — keyword_author.go:16-54); a 'lang\\x01' posting
+    would inflate field dfs while being unreachable via JSON queries
+    (tree_from_json drops empty-word terms). Non-empty values index
+    normally and the Oracle agrees on scores."""
+    import pyarrow as pa
+
+    from quickray.build import build_index
+
+    n = 90
+    langs = [None if i % 3 == 0 else ("" if i % 3 == 1 else "go")
+             for i in range(n)]
+    tbl = pa.table(
+        {
+            "repo": pa.array(["r"] * n),
+            "path": pa.array([f"f{i:03d}.go" for i in range(n)]),
+            "commit": pa.array(["c"] * n),
+            "lang": pa.array(langs),
+            "content": pa.array([f"word{i} shared" for i in range(n)]),
+        }
+    )
+    out = str(tmp_path / "idx")
+    build_index(tbl, out, field_cols=["lang"], langs=["go"])
+    ix = Index(out)
+    terms = set(ix.df_table()["term"].to_pylist())
+    assert "lang\x01" not in terms
+    assert "lang\x01go" in terms
+    eng = LocalEngine(ix)
+    cand = eng.candidates(Query(tree=Term("go", field="lang"), k=10**9))
+    assert len(cand) == sum(1 for v in langs if v == "go")
+    # rank identity incl. the df the empty rows must NOT count toward
+    oracle = Oracle(tbl, field_cols=["lang"])
+    assert "lang\x01" not in oracle.postings
+    q = Query(tree=Or((Term("go", field="lang"), Term("shared"))), k=15)
+    ids, sc = eng.search(q)
+    oc = oracle.search(q)
+    assert list(ids) == [d for d, _ in oc]
+    assert np.allclose(sc, [s for _, s in oc], rtol=1e-9, atol=1e-12)
+
+
 def test_duplicate_field_cols_rejected(tmp_path, ray_session):
     import pyarrow as pa
     import pytest as _pytest
