@@ -560,6 +560,30 @@ def _jaccard_filter_sort(
     )
 
 
+def _binary_col_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """(element_offsets, flat int64 view) over a binary column whose
+    values are packed int64 arrays — zero per-row Python objects (the
+    same buffer-view shape as _verify_broadcast's packing)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off_dt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    boffs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        if col.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    e = (boffs - boffs[0]) // 8
+    raw = data[boffs[0] : boffs[-1]]
+    flat = (
+        np.ascontiguousarray(raw).view(np.int64)
+        if raw.size else np.empty(0, np.int64)
+    )
+    return e, flat
+
+
 def _verify_broadcast(
     cand: "rd.Dataset", sh_mat: "rd.Dataset", threshold: float
 ) -> "rd.Dataset":
@@ -580,22 +604,11 @@ def _verify_broadcast(
     # read the binary column's offsets/data buffers directly — the
     # flat int64 payload never round-trips through per-row Python
     # bytes objects (the r04 review finding: to_pylist + frombuffer +
-    # concatenate held ~3x the table in transient driver objects)
-    chunk = tbl["sh"].chunk(0)
-    off_dt = np.int64 if pa.types.is_large_binary(chunk.type) else np.int32
-    boffs = np.frombuffer(chunk.buffers()[1], dtype=off_dt)[
-        chunk.offset : chunk.offset + len(chunk) + 1
-    ].astype(np.int64)
-    data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
-    # per-row int64 ELEMENT offsets into flat, rows in natural order;
+    # concatenate held ~3x the table in transient driver objects).
+    # Per-row int64 ELEMENT offsets into flat, rows in natural order;
     # the sorted-id probe maps position -> row via `order` instead of
     # physically reordering the buffer
-    e = (boffs - boffs[0]) // 8
-    raw = data[boffs[0] : boffs[-1]]
-    flat = (
-        np.ascontiguousarray(raw).view(np.int64)
-        if raw.size else np.empty(0, np.int64)
-    )
+    e, flat = _binary_col_view(tbl["sh"])
     ref = ray.put((ids[order], order, e, flat))
 
     def jac(batch: pa.Table) -> pa.Table:
@@ -694,14 +707,15 @@ def verify_pairs(
     def jaccard(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch["a"], dtype=np.int64)
         b = np.asarray(batch["b"], dtype=np.int64)
+        sha_e, sha_flat = _binary_col_view(batch["sh_a"])
+        shb_e, shb_flat = _binary_col_view(batch["sh_b"])
         js = np.empty(len(a), np.float64)
         # loop over candidate PAIRS only (post-LSH, a tiny fraction of
-        # the corpus); each step is a C-speed sorted intersection
-        for i, (ba, bb) in enumerate(
-            zip(batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist())
-        ):
-            sa = np.frombuffer(ba, dtype=np.int64)
-            sb = np.frombuffer(bb, dtype=np.int64)
+        # the corpus); each step is a C-speed sorted intersection over
+        # views into the Arrow value buffers (no per-pair bytes objects)
+        for i in range(len(a)):
+            sa = sha_flat[sha_e[i] : sha_e[i + 1]]
+            sb = shb_flat[shb_e[i] : shb_e[i + 1]]
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             js[i] = inter / (len(sa) + len(sb) - inter)
         return _jaccard_filter_sort(a, b, js, threshold)
