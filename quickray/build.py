@@ -372,15 +372,22 @@ class _Source:
     def count_rows(self) -> int | None:
         """Row count from metadata where free (parquet footers / table
         length); None for generic Datasets (callers then skip the
-        row-sampling optimization rather than force an execution)."""
-        if isinstance(self.raw, str):
-            try:
-                return pads.dataset(self.raw, format="parquet").count_rows()
-            except (OSError, pa.ArrowInvalid):
-                return None
-        if isinstance(self.raw, pa.Table):
-            return self.raw.num_rows
-        return None
+        row-sampling optimization rather than force an execution).
+        Memoized: build_index consults it twice (auto layout + sample
+        stride) and the footer walk is not free on many-fragment
+        sources."""
+        if not hasattr(self, "_count_rows"):
+            self._count_rows = None
+            if isinstance(self.raw, str):
+                try:
+                    self._count_rows = pads.dataset(
+                        self.raw, format="parquet"
+                    ).count_rows()
+                except (OSError, pa.ArrowInvalid):
+                    pass
+            elif isinstance(self.raw, pa.Table):
+                self._count_rows = self.raw.num_rows
+        return self._count_rows
 
 
 def build_partitioned(
@@ -695,24 +702,16 @@ def build_index(
                 # group by the POSTING KEY (field + '\x01' +
                 # lowercased word), not the raw value: 'EN' and 'en'
                 # map to the same lang\x01en posting, so their dfs must
-                # sum before the threshold test. Null/empty values are
-                # skipped — the tokenizer emits no posting for them
-                # (reference: empty keywords are never indexed)
-                import pyarrow.compute as pc
+                # sum before the threshold test. Derivation + the
+                # empty-value skip are shared with the tokenizer
+                # (tokenize.field_posting_keys — the single source of
+                # the field-key contract)
+                from quickray.tokenize import field_posting_keys
 
                 keys = []
                 for f in field_cols:
-                    c = t[f]
-                    if isinstance(c, pa.ChunkedArray):
-                        c = c.combine_chunks()
-                    low = pc.utf8_lower(
-                        pc.fill_null(c.cast(pa.string()), "")
-                    )
-                    k = pc.binary_join_element_wise(
-                        pa.scalar(f), low, pa.scalar("\x01")
-                    )
-                    keep = pc.not_equal(low, "")
-                    if not pc.all(keep).as_py():
+                    k, keep = field_posting_keys(t[f], f)
+                    if keep is not None:
                         k = k.filter(keep)
                     keys.append(k)
                 return pa.table({"w": pa.concat_arrays(

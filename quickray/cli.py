@@ -77,9 +77,15 @@ def _parse_terms(spec: str, field_cols=None) -> tuple:
                     f"unknown field {f!r}: this index has field-scoped"
                     f" postings for {sorted(field_cols)} only"
                 )
-            out.append(Term(w.strip().lower(), field=f))
+            term = Term(w.strip().lower(), field=f)
         else:
-            out.append(Term(t.strip().lower()))
+            term = Term(t.strip().lower())
+        if not term.term:
+            # empty words are never indexed (and tree_from_json elides
+            # them) — a bare 'lang:' would silently probe a posting
+            # that cannot exist
+            raise SystemExit(f"empty term in {t!r}")
+        out.append(term)
     return tuple(out)
 
 

@@ -136,6 +136,14 @@ def exact_duplicates(ds: "rd.Dataset") -> "rd.Dataset":
         # assembled into ONE binary array from the concatenated buffer
         from quickray.util import digest_slices
 
+        if batch["text"].null_count:
+            # digest_slices would fill_null to '' and silently merge
+            # every null-text doc with the ''-text group — an ingest
+            # bug must fail loudly, not dedup data away (r05 review)
+            raise ValueError(
+                "exact_duplicates: null values in 'text' — fill or drop"
+                " them explicitly before deduplication"
+            )
         n = batch.num_rows
         dig = digest_slices(batch["text"], "sha256", 32)
         offs = np.arange(0, 32 * (n + 1), 32, dtype=np.int32)
@@ -980,6 +988,14 @@ def dedup_corpus(
         n_losers, losers.size_bytes() or 0, broadcast_bytes, num_partitions,
     )
     losers = _join_ready(losers, num_partitions, n_losers)
+    # the corpus side is NOT _join_ready-repacked (that would force an
+    # extra full shuffle + count of an unbounded input purely to dodge
+    # the Ray 2.49 empty-first-block schema hazard). The hazard needs a
+    # join partition that receives ZERO corpus rows; this path only
+    # triggers above broadcast_bytes of loser ids (>~33M losers), i.e.
+    # a corpus orders of magnitude larger than num_partitions — every
+    # partition receives corpus rows. Tiny/filtered corpora always take
+    # the broadcast path.
     return ds.join(
         losers,
         join_type="left_anti",

@@ -304,14 +304,6 @@ def lsh_near_dup_pairs(
         pl = ray.get(planes_ref)
         m = _normalize(_batch_mat(batch))
         bits = (m @ pl) > 0  # (n, n_planes)
-        # full-signature digest for oversize-bucket sub-grouping:
-        # FNV-combine the packed sign bytes into one u64 per row
-        packed = np.packbits(bits, axis=1)  # (n, ceil(n_planes/8))
-        sig = np.zeros(len(packed), np.uint64)
-        mult = np.uint64(0x100000001B3)
-        for col in packed.T:
-            sig = sig * mult + col  # u64 wraparound: stable digest
-        sig = sig.view(np.int64)
         vec_id = batch["vec_id"]
         if isinstance(vec_id, pa.ChunkedArray):
             vec_id = vec_id.combine_chunks()
@@ -329,11 +321,26 @@ def lsh_near_dup_pairs(
                         "key": pa.array(keys.astype(np.int64)),
                         "vec_id": vec_id,
                         "embedding": emb,
-                        "sig": pa.array(sig),
                     }
                 )
             )
         return pa.concat_tables(tabs)
+
+    def _sig_digest(sub: np.ndarray) -> np.ndarray:
+        """Full n_planes sign-bit digest per row, recomputed from the
+        vectors ONLY for oversize buckets (rare degenerate case) — not
+        shipped as a column through the corpus x bands shuffle (8
+        bytes/row/band of always-on payload for a path that almost
+        never runs). Signs of the normalized rows equal signs of the
+        raw rows (norms are positive), so the digest is stable."""
+        pl = ray.get(planes_ref)
+        bits = (sub @ pl) > 0
+        packed = np.packbits(bits, axis=1)
+        sig = np.zeros(len(packed), np.uint64)
+        mult = np.uint64(0x100000001B3)
+        for col in packed.T:
+            sig = sig * mult + col  # u64 wraparound: stable FNV combine
+        return sig.view(np.int64)
 
     def bucket_pairs_block(t: pa.Table) -> pa.Table:
         """One SORTED block = whole buckets (Ray's sort never splits
@@ -361,7 +368,6 @@ def lsh_near_dup_pairs(
         if not len(multi):
             return empty
         ids = np.asarray(t["vec_id"], dtype=np.int64)
-        sigs = np.asarray(t["sig"], dtype=np.int64)
         mat = _normalize(_batch_mat(t))  # whole block, one pass
         outs_a, outs_b, outs_c = [], [], []
         for gi in multi:
@@ -385,7 +391,7 @@ def lsh_near_dup_pairs(
 
                 gids_all = ids[lo:hi]
                 a_id, b_id = _pairs_from_ids(
-                    gids_all, sigs[lo:hi], cap=bucket_cap
+                    gids_all, _sig_digest(mat[lo:hi]), cap=bucket_cap
                 )
                 if not len(a_id):
                     continue

@@ -56,7 +56,9 @@ class Oracle:
         # are NOT tokens — doc_len / avgdl / total_tokens stay
         # content-only, matching the engine's stats phase.
         # null/empty values emit NO posting (reference: empty keywords
-        # are never indexed — keyword_author.go's len(Author) > 0 guard)
+        # are never indexed — keyword_author.go's len(Author) > 0
+        # guard). Dict-form restatement of the single key contract in
+        # tokenize.field_posting_keys; test_fields pins the agreement.
         for f in field_cols or []:
             for i, v in zip(ids, table[f].to_pylist()):
                 if v:

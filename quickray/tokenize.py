@@ -207,6 +207,33 @@ def rank_lookup(
     return pa.array(idx.astype(np.int64))
 
 
+def field_posting_keys(
+    col: pa.Array | pa.ChunkedArray, field: str
+) -> tuple[pa.Array, pa.Array | None]:
+    """THE single definition of the field-scoped posting-key derivation
+    — the reference's Keyword{Field, Word} (build_index.go:114-127; key
+    format field + '\\x01' + lower(value), gen/document.go:5). '\\x01'
+    cannot appear in a content token ([a-z0-9_]+), so field keys never
+    collide with content terms. Null / EMPTY values emit no posting:
+    the reference never indexes an empty keyword (Keyword.ToString is
+    '' for an empty Word; indexing is guarded by len(Author) > 0,
+    keyword_author.go:16-54) — a 'field\\x01' key would only inflate
+    field dfs and is unreachable via queries (tree_from_json drops
+    empty-word terms). The tokenizer's posting emission, build's
+    hot-field-df detection and the test Oracle must all agree
+    byte-for-byte on this derivation — they all route through here
+    (oracle.py re-states it in dict form with a cross-reference).
+
+    Returns (keys aligned with col, keep mask) — keep is None when
+    every row survives (callers skip the filter)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    low = pc.utf8_lower(pc.fill_null(col.cast(pa.string()), ""))
+    keys = pc.binary_join_element_wise(pa.scalar(field), low, pa.scalar("\x01"))
+    keep = pc.not_equal(low, "")
+    return keys, (None if pc.all(keep).as_py() else keep)
+
+
 class Tokenizer:
     """Stateful actor-pool stage: corpus batch -> (term, doc_id, tf, dl,
     bits, salt).
@@ -273,27 +300,13 @@ class Tokenizer:
 
     def _field_rows(self, batch: pa.Table, row_ids: pa.Array) -> list[pa.Table]:
         """Field-scoped keyword rows: one (field\\x01lower(value),
-        doc_id, tf=1) posting per doc per indexed field — the
-        reference's Keyword{Field, Word} (build_index.go:114-127; key
-        format gen/document.go:5). Field keys contain '\\x01' so they
-        can never collide with content tokens ([a-z0-9_]+). Null /
-        empty values emit NO posting: the reference never indexes an
-        empty keyword (Keyword.ToString returns '' for an empty Word
-        and indexing is guarded by len(Author) > 0,
-        keyword_author.go:16-54) — a 'field\\x01' posting would only
-        inflate field dfs and is unreachable via queries anyway
-        (tree_from_json drops empty-word terms)."""
+        doc_id, tf=1) posting per doc per indexed field (see
+        field_posting_keys for the key derivation + empty-skip
+        contract)."""
         n = batch.num_rows
         out = []
         for f in self.field_cols:
-            col = batch[f]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            vals = pc.utf8_lower(pc.fill_null(col.cast(pa.string()), ""))
-            terms = pc.binary_join_element_wise(
-                pa.array([f] * n, pa.string()), vals, "\x01"
-            )
-            keep = pc.not_equal(vals, "")
+            terms, keep = field_posting_keys(batch[f], f)
             t = pa.table(
                 {
                     "term": terms,
@@ -301,7 +314,7 @@ class Tokenizer:
                     "count_all": pa.array(np.ones(n, np.int64)),
                 }
             )
-            if not pc.all(keep).as_py():
+            if keep is not None:
                 t = t.filter(keep)
             out.append(t)
         return out

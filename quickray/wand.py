@@ -42,6 +42,23 @@ from quickray.scoring import flags_mask
 
 logger = logging.getLogger(__name__)
 
+
+def _column_missing(index, col: str) -> bool:
+    """True iff the docmeta schema provably lacks `col` (footer-only
+    probe — no data read). False on any probe failure: a corrupt footer
+    must surface as the per-query warning path, never as absence."""
+    import os
+
+    try:
+        import pyarrow.dataset as pads
+
+        schema = pads.dataset(
+            os.path.join(index.out_dir, "docmeta"), format="parquet"
+        ).schema
+        return col not in schema.names
+    except Exception:
+        return False
+
 EXHAUSTIVE_CUTOFF = 4096  # below this many total postings, just score
 
 
@@ -112,25 +129,32 @@ def block_max_topk(engine, terms: list[str], q: Query):
                     try:
                         bits = index.docmeta_arrays(("bits",))["bits"]
                     except (KeyError, FileNotFoundError):
-                        # builds predating the docmeta bits column
-                        # (Index preload tolerates them the same way);
-                        # remember the GENUINE absence (missing column
-                        # / missing docmeta dir) so later queries skip
-                        # the parquet open + exception on the hot path
+                        # missing docmeta dir: GENUINE absence — latch
+                        # so later queries skip the parquet open +
+                        # exception on the hot path
                         index._bits_absent = True
-                    except (OSError, pa.ArrowInvalid):
-                        # transient read failure (EIO/EMFILE under
-                        # load) or a CORRUPTED docmeta file: fall back
-                        # for THIS query only — results stay identical
-                        # (bits are replicated in postings) but a
-                        # corrupt file is a real data problem that must
-                        # not be silently latched as "absent" (r04
-                        # ADVICE); warn so it gets investigated
-                        logger.warning(
-                            "docmeta bits read failed (falling back to"
-                            " posting-replicated bits for this query)",
-                            exc_info=True,
-                        )
+                    except (OSError, pa.ArrowInvalid) as exc:
+                        # pyarrow raises ArrowInvalid BOTH for a column
+                        # missing from the file schema (builds
+                        # predating the bits column — genuine absence,
+                        # latch it) and for a corrupted file. A cheap
+                        # footer-only schema probe tells them apart; a
+                        # corrupt/transient failure (EIO under load)
+                        # falls back for THIS query only — results stay
+                        # identical (bits are replicated in postings)
+                        # but a real data problem must not be silently
+                        # latched as "absent" (r04 ADVICE)
+                        if isinstance(
+                            exc, pa.ArrowInvalid
+                        ) and _column_missing(index, "bits"):
+                            index._bits_absent = True
+                        else:
+                            logger.warning(
+                                "docmeta bits read failed (falling back"
+                                " to posting-replicated bits for this"
+                                " query)",
+                                exc_info=True,
+                            )
                 if bits is None:
                     # bits are doc-level and replicated into every
                     # posting, so the slice this query needs
