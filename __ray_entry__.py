@@ -456,6 +456,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": P.dup_clusters_pipeline,
         # the deduplicated corpus itself: anti-join the loser list
         "dedup_keep": P.dedup_keep_pipeline,
+        # same result via the FORCED over-budget fallback (corpus-side
+        # left-anti hash join, nothing pulled to the driver) — the
+        # 100-TB path, oracle-identical to the broadcast path
+        "dedup_keep_joinpath": P.dedup_keep_joinpath_pipeline,
         "simhash": P.simhash_pipeline,
         "doc_fingerprint": P.fingerprint_pipeline,
         "ivf_ann_topk": P.ivf_topk_pipeline,
@@ -484,7 +488,7 @@ def oracle_sql() -> dict[str, str]:
 
     csv_path = ensure_video_csv_fixture("/tmp/quickray_cache")
     stop = "('the', 'a', 'of', 'and', 'to')"
-    return {
+    out = {
         "video_csv_parse": _video_csv_sql(csv_path),
         # flagship: the reference query set, one SQL arm per query
         "reference_queries": _ref_queries_sql(flat_or_only=False),
@@ -880,3 +884,7 @@ SELECT user_id, count(*)::BIGINT AS n_events,
 FROM g GROUP BY user_id
 """,
     }
+    # the forced-fallback pipeline must produce the exact same corpus
+    # as the broadcast path — same oracle
+    out["dedup_keep_joinpath"] = out["dedup_keep"]
+    return out

@@ -573,6 +573,22 @@ def dedup_keep_pipeline(sf_dir: str):
     return dedup_corpus(docs, clusters)
 
 
+def dedup_keep_joinpath_pipeline(sf_dir: str):
+    """Same result as dedup_keep_pipeline, but broadcast_bytes=0 FORCES
+    the scale fallback: the loser list is never pulled to the driver and
+    the corpus takes a LEFT ANTI hash join instead of the broadcast
+    anti-filter. Oracle-identical output proves the two paths agree
+    under the driver's hash compare (the 100-TB path, exercised at
+    oracle scale)."""
+    from quickray.extras.dedup import dedup_corpus, near_dup_clusters
+
+    clusters = near_dup_clusters(
+        _docs_ds(sf_dir, ["doc_id", "text"]), threshold=0.5, num_perm=64, bands=64
+    )
+    docs = _docs_ds(sf_dir, ["doc_id", "lang", "n_chars"])
+    return dedup_corpus(docs, clusters, broadcast_bytes=0)
+
+
 def ngram_jaccard_pipeline(sf_dir: str, max_doc_id: int = 60) -> pa.Table:
     """Exact token-set Jaccard (shingle k=1) on doc_id < 60 pairs."""
     from quickray.extras.dedup import ngram_jaccard_pairs
