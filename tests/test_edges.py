@@ -755,3 +755,63 @@ def test_ray_sort_contract_pinned():
         " sorted runs may be re-split across blocks — re-verify before"
         " trusting blockwise reductions"
     )
+
+
+def test_sum_by_key_and_exact_dedup_randomized_differential(ray_session):
+    """Randomized differential vs pandas: sum_by_key (skewed random
+    string keys over many blocks, random negative/positive int values)
+    and exact_duplicates (random duplicated texts) must match the naive
+    groupby exactly across seeds — the end-to-end check on the sorted-
+    block reduction, on top of the kernel-level property tests."""
+    import pandas as pd
+    import ray.data as rd
+
+    from quickray.extras.dedup import exact_duplicates
+    from quickray.util import sum_by_key
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(500, 3000))
+        # zipf-ish skew: a few hot keys + a long tail
+        pool = [f"k{i}" for i in range(int(rng.integers(3, 80)))]
+        probs = rng.dirichlet(np.ones(len(pool)) * 0.3)
+        keys = rng.choice(pool, size=n, p=probs)
+        vals = rng.integers(-10**6, 10**6, size=n)
+        ds = rd.from_arrow(pa.table({
+            "term": pa.array(keys.tolist()),
+            "v": pa.array(vals, pa.int64()),
+        })).repartition(int(rng.integers(2, 16)))
+        got = (
+            sum_by_key(ds, "term", sums=[("v", "s")], count_as="m")
+            .to_pandas().sort_values("term").reset_index(drop=True)
+        )
+        want = (
+            pd.DataFrame({"term": keys, "v": vals})
+            .groupby("term", as_index=False)
+            .agg(s=("v", "sum"), m=("v", "size"))
+            .sort_values("term").reset_index(drop=True)
+        )
+        assert got["term"].tolist() == want["term"].tolist(), seed
+        assert got["s"].tolist() == want["s"].tolist(), seed
+        assert got["m"].tolist() == want["m"].tolist(), seed
+
+        texts = rng.choice(
+            [f"text body {i}" for i in range(int(rng.integers(2, 50)))],
+            size=n,
+        )
+        dds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts.tolist()),
+        })).repartition(int(rng.integers(2, 16)))
+        dgot = (
+            exact_duplicates(dds).to_pandas()
+            .sort_values("keep_doc_id").reset_index(drop=True)
+        )
+        dwant = (
+            pd.DataFrame({"doc_id": np.arange(n), "text": texts})
+            .groupby("text", as_index=False)
+            .agg(keep_doc_id=("doc_id", "min"), group_size=("doc_id", "size"))
+            .sort_values("keep_doc_id").reset_index(drop=True)
+        )
+        assert dgot["keep_doc_id"].tolist() == dwant["keep_doc_id"].tolist(), seed
+        assert dgot["group_size"].tolist() == dwant["group_size"].tolist(), seed
