@@ -17,6 +17,14 @@ _SHIFTS = (np.arange(10, dtype=np.uint64) * np.uint64(7))  # 10*7 >= 64 bits
 _THRESHOLDS = (np.uint64(1) << (_SHIFTS[1:])).astype(np.uint64)
 
 
+# chunk bound for the encode matrices: the (chunk, 10) shift/mask
+# temporaries cost ~100 bytes per value, so an unchunked mega-term run
+# (df ~1e8 per partition) would allocate ~10 GB of transients for a
+# ~100 MB output. 4M values caps the transient at ~400 MB with no
+# measurable throughput loss (the kernels stay memory-bandwidth bound).
+_ENCODE_CHUNK = 4_000_000
+
+
 def varint_encode_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """LEB128-encode a non-negative int array (vectorized); also return
     the encoded byte count per value so callers can split the stream
@@ -29,12 +37,20 @@ def varint_encode_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     nbytes = np.ones(n, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += (v >= t).astype(np.int64)  # 9 vectorized compares, exact
-    groups = (v[:, None] >> _SHIFTS[None, :]).astype(np.uint8) & np.uint8(0x7F)
     pos = np.arange(10)[None, :]
-    keep = pos < nbytes[:, None]
-    cont = pos < (nbytes - 1)[:, None]
-    groups = np.where(cont, groups | np.uint8(0x80), groups)
-    return groups[keep].tobytes(), nbytes
+    parts = []
+    for lo in range(0, n, _ENCODE_CHUNK):
+        hi = min(lo + _ENCODE_CHUNK, n)
+        groups = (
+            (v[lo:hi, None] >> _SHIFTS[None, :]).astype(np.uint8)
+            & np.uint8(0x7F)
+        )
+        nb = nbytes[lo:hi, None]
+        keep = pos < nb
+        groups = np.where(pos < nb - 1, groups | np.uint8(0x80), groups)
+        parts.append(groups[keep])
+    out = parts[0] if len(parts) == 1 else np.concatenate(parts)
+    return out.tobytes(), nbytes
 
 
 def varint_encode(values: np.ndarray) -> bytes:

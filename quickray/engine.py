@@ -167,14 +167,19 @@ class Index:
             n_pre = min(n_pre, len(order))
             self._cache_cap = max(self._cache_cap, 2 * n_pre)
             for i in order[:n_pre]:
-                p = self.posting(self._term_col[int(i)].as_py())
-                if p is not None and p.contrib is None:
+                # the row index is already in hand — decode directly
+                # instead of re-resolving each term through the
+                # O(log V) binary search (at preload_bytes scale that
+                # search cost alone dominated actor __init__)
+                p = self._posting_at(int(i))
+                self._cache_put(self._term_col[int(i)].as_py(), p)
+                if p.contrib is None:
                     # pre-warm the memoized contributions too — a cold
                     # first query then pays neither decode nor scoring
                     p.contrib = bm25_contrib(
                         p.tfs, p.dls, p.df, self.n_docs, self.avgdl
                     )
-                if p is not None and len(p.doc_ids) > self.n_docs // 2:
+                if len(p.doc_ids) > self.n_docs // 2:
                     posting_contrib_dense(p, self.n_docs, self.avgdl)
             try:
                 # the dense-eval flag path reads doc-level bits once —
@@ -207,26 +212,32 @@ class Index:
             return int(order[lo])
         return None
 
+    def _posting_at(self, i: int) -> Posting:
+        """Decode the posting stored at segment row ``i`` (callers that
+        already hold the row index — preload — skip the binary search
+        entirely)."""
+        return Posting(
+            doc_ids=decode_postings(self._seg["postings"][i].as_py()),
+            tfs=varint_decode(self._seg["tfs"][i].as_py()),
+            dls=varint_decode(self._seg["dls"][i].as_py()),
+            bits=varint_decode(self._seg["bitsv"][i].as_py()),
+            df=self._seg["df"][i].as_py(),
+            block_last=np.asarray(self._seg["block_last"][i].as_py(), np.int64),
+            block_max=np.asarray(self._seg["block_max"][i].as_py(), np.float64),
+        )
+
+    def _cache_put(self, term: str, p: Posting | None) -> None:
+        self._cache[term] = p
+        if len(self._cache) > self._cache_cap:
+            self._cache.popitem(last=False)
+
     def posting(self, term: str) -> Posting | None:
         if term in self._cache:
             self._cache.move_to_end(term)
             return self._cache[term]
         i = self._term_index(term)
-        if i is None:
-            p = None
-        else:
-            p = Posting(
-                doc_ids=decode_postings(self._seg["postings"][i].as_py()),
-                tfs=varint_decode(self._seg["tfs"][i].as_py()),
-                dls=varint_decode(self._seg["dls"][i].as_py()),
-                bits=varint_decode(self._seg["bitsv"][i].as_py()),
-                df=self._seg["df"][i].as_py(),
-                block_last=np.asarray(self._seg["block_last"][i].as_py(), np.int64),
-                block_max=np.asarray(self._seg["block_max"][i].as_py(), np.float64),
-            )
-        self._cache[term] = p
-        if len(self._cache) > self._cache_cap:
-            self._cache.popitem(last=False)
+        p = None if i is None else self._posting_at(i)
+        self._cache_put(term, p)
         return p
 
     @property
@@ -234,18 +245,12 @@ class Index:
         return self._seg.num_rows
 
     def doc_lens(self, doc_ids: np.ndarray) -> np.ndarray:
-        """doc_len lookup via the forward index (docmeta), loaded
-        lazily once as a dense doc-indexed array."""
-        arr = getattr(self, "_doc_len_arr", None)
-        if arr is None:
-            dm = pq.read_table(
-                os.path.join(self.out_dir, "docmeta"),
-                columns=["doc_id", "doc_len"],
-            )
-            arr = np.zeros(self.n_docs, dtype=np.int64)
-            arr[np.asarray(dm["doc_id"])] = np.asarray(dm["doc_len"])
-            self._doc_len_arr = arr
-        return arr[np.asarray(doc_ids, dtype=np.int64)]
+        """doc_len lookup via the forward index (docmeta) — served from
+        the shared docmeta_arrays dense cache (one parquet read + one
+        resident array per index, however many consumers)."""
+        return self.docmeta_arrays(("doc_len",))["doc_len"][
+            np.asarray(doc_ids, dtype=np.int64)
+        ]
 
     def docmeta_arrays(self, cols: tuple[str, ...]) -> dict[str, np.ndarray]:
         """Warm forward-index state: the requested docmeta columns as
@@ -526,7 +531,10 @@ class LocalEngine:
         self, term: str, cand: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray] | None:
         p = self.index.posting(term)
-        if p is None or len(cand) == 0:
+        # len == 0: a posting can exist yet be empty (fully-tombstoned
+        # term under delta serving, delta._MaskedIndex) — without the
+        # guard, doc_ids[minimum(li, -1)] below raises IndexError
+        if p is None or len(p.doc_ids) == 0 or len(cand) == 0:
             return None
         li = np.searchsorted(p.doc_ids, cand)
         li_c = np.minimum(li, len(p.doc_ids) - 1)
@@ -589,6 +597,10 @@ class LocalEngine:
 
     def search(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (doc_ids, scores), rank-identical to the oracle."""
+        if q.k < 0:
+            # numpy [:k] with negative k keeps n-|k| rows (drops from
+            # the END); a nonsensical k must yield zero hits, not n-1
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         terms = flat_or_terms(q.tree)
         if terms is not None and not self._global:
             # block-max metadata was computed with THIS index's stats;
@@ -822,5 +834,17 @@ class QueryEngineActor:
                 np.asarray(docs, dtype=np.int64), self.hydrate_cols
             )
             for c in self.hydrate_cols:
-                out[c] = pa.array(meta[c].tolist())
+                vals = meta[c]
+                # explicit Arrow type: an all-empty batch (every query
+                # matched nothing) would otherwise emit a null-typed
+                # column and break downstream block concatenation
+                # (ArrowInvalid: 'repo: null vs repo: string')
+                typ = (
+                    pa.int64()
+                    if np.issubdtype(vals.dtype, np.integer)
+                    else pa.float64()
+                    if np.issubdtype(vals.dtype, np.floating)
+                    else pa.string()
+                )
+                out[c] = pa.array(vals.tolist(), typ)
         return pa.table(out)

@@ -89,7 +89,10 @@ def query_from_json(obj: dict) -> Query:
         on_flag=int(obj.get("on_flag", 0)),
         off_flag=int(obj.get("off_flag", 0)),
         or_flags=tuple(obj.get("or_flags", [])),
-        k=int(obj.get("k", 10)),
+        # clamp: a negative k would flow into numpy [:k] slices, which
+        # drop |k| elements from the END instead of selecting none —
+        # a malformed query must return zero hits, not n-1
+        k=max(0, int(obj.get("k", 10))),
         id=obj.get("id", ""),
     )
 

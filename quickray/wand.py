@@ -256,7 +256,19 @@ def block_max_topk(engine, terms: list[str], q: Query):
     last_of = np.flatnonzero(np.r_[pos[1:] != pos[:-1], True])
     pos = pos[last_of]
     ub = ub[last_of]
-    margin = 1e-9 * max(1.0, abs(theta))
+    # safety margin for the keep test: pruning may only ever
+    # UNDER-prune. np.cumsum is a sequential sum, so its worst-case
+    # rounding error grows with the event count (n * eps * max|partial
+    # sum|) — at mega-term scale (df ~1e9, ~1e7 blocks per term) that
+    # exceeds a fixed 1e-9, which could over-prune a doc-range whose
+    # true upper bound ties theta. Scale the margin with the
+    # accumulation length so the bound dominates the achievable error.
+    err = (
+        len(delta)
+        * np.finfo(np.float64).eps
+        * max(1.0, float(np.max(np.abs(ub))) if len(ub) else 1.0)
+    )
+    margin = max(1e-9 * max(1.0, abs(theta)), err)
     keep = ub >= theta - margin
     if keep.all():
         return full_eval()

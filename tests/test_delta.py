@@ -299,3 +299,43 @@ def test_delta_over_partitioned_main(tmp_path, ray_session):
     for q in queries:
         k, s = eng.search(q)
         _assert_same(f"part:{q.id}", k, s, *exp[q.id])
+
+
+def test_fully_tombstoned_term_in_or_query(tmp_path, ray_session):
+    """Delete EVERY doc containing one term, then run an OR query mixing
+    that term with a live one through the global-stats score path: the
+    fully-tombstoned posting survives as an EMPTY Posting
+    (_MaskedIndex), which must score as 'term absent' — not IndexError
+    (r05 engine review: _term_contrib indexed doc_ids[-1] on a size-0
+    array)."""
+    import pyarrow as pa
+
+    from quickray.query import Or, Query, Term
+
+    n = 40
+    # unique marker term in 3 docs; common term everywhere
+    texts = [
+        ("zzmarker shared body text" if i < 3 else "shared body text")
+        for i in range(n)
+    ]
+    base = pa.table(
+        {
+            "repo": pa.array(["r"] * n),
+            "path": pa.array([f"f{i:03d}.go" for i in range(n)]),
+            "commit": pa.array(["c"] * n),
+            "lang": pa.array(["go"] * n),
+            "content": pa.array(texts),
+        }
+    )
+    main_dir = str(tmp_path / "main")
+    build_index(base, main_dir, num_salts=1, num_shards=4, num_parts=4)
+    del_keys = [f"r\x01f{i:03d}.go" for i in range(3)]  # all zzmarker docs
+    eng = DeltaEngine([main_dir], deleted_keys=del_keys)
+    q = Query(tree=Or((Term("zzmarker"), Term("shared"))), k=50)
+    keys, scores = eng.search(q)  # must not raise
+    assert len(keys) == n - 3
+    assert not set(keys) & set(del_keys)
+    # rebuild-identical scores for the live corpus
+    live = base.slice(3)
+    exp = _rebuild_search(live, str(tmp_path / "rb2"), [q])
+    _assert_same("tombstoned-or", keys, scores, *exp[q.id])

@@ -815,3 +815,38 @@ def test_sum_by_key_and_exact_dedup_randomized_differential(ray_session):
         )
         assert dgot["keep_doc_id"].tolist() == dwant["keep_doc_id"].tolist(), seed
         assert dgot["group_size"].tolist() == dwant["group_size"].tolist(), seed
+
+
+def test_query_actor_hydrate_empty_batch_schema(tmp_path, ray_session):
+    """A batch whose queries all match NOTHING must still emit typed
+    hydrate columns: untyped pa.array([]) infers type null, and
+    concatenating with a non-empty batch's string column raises
+    ArrowInvalid in any downstream union/write (r05 engine review)."""
+    import json as _json
+
+    from quickray.build import build_index
+    from quickray.corpus import generate_corpus
+    from quickray.engine import QueryEngineActor
+    from quickray.query import Query, Term
+
+    tbl = generate_corpus(120, seed=21)
+    out = str(tmp_path / "idx")
+    build_index(tbl, out, num_salts=1, num_shards=4, num_parts=4)
+    actor = QueryEngineActor(
+        out, hydrate_cols=("sha256", "doc_len"), preload_top_df=0,
+        preload_bytes=None,
+    )
+    empty_q = Query(tree=Term("qqabsentterm"), k=5, id="none")
+    hit_q = Query(tree=Term("func"), k=5, id="hit")
+    b_empty = actor(pa.table(
+        {"query": pa.array([_json.dumps(empty_q.to_json())])}
+    ))
+    b_hit = actor(pa.table(
+        {"query": pa.array([_json.dumps(hit_q.to_json())])}
+    ))
+    assert b_empty.num_rows == 0
+    assert b_hit.num_rows > 0  # the concat below must be a REAL merge
+    assert b_empty.schema.field("sha256").type == pa.string()
+    assert b_empty.schema.field("doc_len").type == pa.int64()
+    merged = pa.concat_tables([b_empty, b_hit])  # must not raise
+    assert merged.num_rows == b_hit.num_rows
