@@ -116,6 +116,10 @@ def varint_decode(buf: bytes | memoryview, out_dtype=np.int64) -> np.ndarray:
     if len(b) == 0:
         return np.empty(0, dtype=out_dtype)
     is_last = (b & 0x80) == 0
+    if is_last.all():
+        # every value fits 7 bits (dense postings: doc deltas are ~1,
+        # tfs are small) — the stream IS the payload, one cast out
+        return b.astype(out_dtype)
     ends = np.flatnonzero(is_last)
     starts = np.empty_like(ends)
     starts[0] = 0
@@ -125,11 +129,15 @@ def varint_decode(buf: bytes | memoryview, out_dtype=np.int64) -> np.ndarray:
     # combine per value by byte position: values are mostly 1-2 bytes,
     # so this runs 1-3 vectorized passes over a shrinking selection
     # (beats both reduceat over millions of tiny segments and ufunc.at)
-    out = payload[starts].copy()
+    out = payload[starts]  # advanced indexing already copies
     maxlen = int(lens.max())
     for j in range(1, maxlen):
         sel = np.flatnonzero(lens > j)
         out[sel] |= payload[starts[sel] + j] << np.uint64(7 * j)
+    if np.dtype(out_dtype) == np.int64:
+        # encoded values originate from non-negative int64 (< 2^63),
+        # so the uint64 -> int64 reinterpret is exact and zero-copy
+        return out.view(np.int64)
     return out.astype(out_dtype)
 
 
