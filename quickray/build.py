@@ -45,10 +45,13 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import os
 import time
 from dataclasses import dataclass, field
 from typing import Any
+
+logger = logging.getLogger(__name__)
 
 import numpy as np
 import pyarrow as pa
@@ -147,10 +150,23 @@ def _make_docbase_fn(rank_ref, id_col_present: bool, sample_mod: int = 1):
                 ranked_np = rank_probe_np(ray.get(rank_ref))
                 _WORKER_RANK_NP[key] = ranked_np
             doc_id = rank_lookup(t, None, ranked_np)
-        digests = [
-            hashlib.sha256(s.encode()).hexdigest()
-            for s in t["content"].to_pylist()
-        ]
+        if t["content"].null_count:
+            # a null content cell is an ingest bug: fail with the
+            # column named instead of an opaque AttributeError deep in
+            # a Ray worker (data_signature's null-as-'' semantics are
+            # for SIGNATURES, not for indexing)
+            raise ValueError(
+                "null values in 'content' — fill or drop them before"
+                " build_index"
+            )
+        from quickray.util import digest_slices
+
+        # zero-object hashing: sha256 over memoryview slices of the
+        # Arrow value buffer (this is THE content pass at corpus scale;
+        # to_pylist built one Python str per row), hex-sliced from one
+        # buffer-wide hex string
+        hexall = digest_slices(t["content"], "sha256", 32).hex()
+        digests = [hexall[64 * i : 64 * (i + 1)] for i in range(t.num_rows)]
         # ONE tokenization pass serves both doc_len and the sampled
         # hot-term partial dfs (rows at batch positions 0, mod, 2*mod
         # ... — deterministic; the hot set only steers salting)
@@ -256,21 +272,36 @@ class _Source:
             except (OSError, pa.ArrowInvalid):
                 self.fingerprint = f"path:{source}"
         elif isinstance(source, pa.Table):
-            # content-sensitive: same-shape different-content tables must
-            # not resume into each other's build dir
+            # content-sensitive over EVERY row (a 64-row sample let
+            # edits in non-sampled rows resume into the stale build
+            # dir): per-row sha256 over memoryview slices of the Arrow
+            # value buffers (digest_slices — no per-row Python objects;
+            # hashes at memory bandwidth, and an in-memory Table source
+            # is by definition node-sized)
+            from quickray.util import digest_slices
+
             h = hashlib.sha256()
             n = source.num_rows
-            step = max(1, n // 64)
-            sample = source.take(np.arange(0, n, step, dtype=np.int64))
             for col in ("repo", "path", "content"):
                 if col in source.column_names:
-                    for v in sample[col].to_pylist():
-                        h.update((v or "").encode())
+                    h.update(digest_slices(source[col], "sha256", 8))
             self.fingerprint = (
                 f"table:rows={n}:schema={source.schema.names}"
                 f":sha={h.hexdigest()[:16]}"
             )
         else:
+            # a generic Dataset cannot be content-fingerprinted without
+            # executing it — resume under the SAME out_dir with a
+            # different same-schema Dataset would serve the stale
+            # index. Warn loudly; callers that need resume safety pass
+            # a parquet path (footer signature) or set fingerprint=.
+            logger.warning(
+                "build_index source is a generic Ray Dataset: the"
+                " resume fingerprint covers only the schema, not the"
+                " data. Pass fingerprint= (e.g. a content hash) or use"
+                " a parquet path / pyarrow Table source if this"
+                " out_dir may be reused with different data."
+            )
             self.fingerprint = f"dataset:{source.schema().names}"
 
     def read(self, cols: list[str]) -> "rd.Dataset":
@@ -461,6 +492,21 @@ def build_partitioned(
             f.write(src_sig)
     import glob as _glob
 
+    # per-partition data signatures are cached next to _VERSION: the
+    # partition files are immutable while _VERSION == src_sig, so a
+    # no-op rerun must not pay a second full-corpus read just to prove
+    # every partition unchanged (the signatures ARE full-content reads)
+    sig_path = os.path.join(corpus_root, "_PART_SIGS.json")
+    part_sigs: dict[str, str] = {}
+    if os.path.exists(sig_path):
+        try:
+            with open(sig_path) as f:
+                rec = json.load(f)
+            if rec.get("version") == src_sig:
+                part_sigs = rec.get("sigs", {})
+        except (OSError, json.JSONDecodeError):
+            pass
+    sigs_dirty = False
     dirs = []
     for i in range(n_partitions):
         part_src = os.path.join(corpus_root, f"kpart={i}")
@@ -469,16 +515,21 @@ def build_partitioned(
             # a key range emptied by deletes: no hive dir is written;
             # served corpus simply omits this partition
             continue
-        # data-based signature (order-independent row crc sum), not
+        # data-based signature (order-independent row digest sum), not
         # file-based: a corpus rewrite with identical rows must NOT
         # re-index the partition — this is what turns a rerun into a
         # delta build touching only changed key ranges
-        build_index(
-            part_src, out,
-            fingerprint=_Source(part_src).data_signature(),
-            **build_kwargs,
-        )
+        sig = part_sigs.get(str(i))
+        if sig is None:
+            sig = _Source(part_src).data_signature()
+            part_sigs[str(i)] = sig
+            sigs_dirty = True
+        build_index(part_src, out, fingerprint=sig, **build_kwargs)
         dirs.append(out)
+    if sigs_dirty:
+        with open(sig_path + ".tmp", "w") as f:
+            json.dump({"version": src_sig, "sigs": part_sigs}, f)
+        os.replace(sig_path + ".tmp", sig_path)
     return dirs
 
 
@@ -558,16 +609,19 @@ def build_index(
     # with a different shuffle/segment layout must invalidate, never
     # silently mix chunk bounds (the partials/segments on disk encode
     # num_parts/num_shards/num_salts/block_size; field_cols change the
-    # posting table's contents)
+    # posting table's contents; langs change the docmeta/posting BITS
+    # encoding and id_col changes doc_id assignment semantics — a
+    # resume under different values must rebuild, not silently serve
+    # the stale index)
     layout = (
         f"|layout:parts={num_parts},shards={num_shards},salts={num_salts},"
         f"chunks={shuffle_chunks if durable_shuffle else 0},bs={block_size}"
         f",fields={'+'.join(field_cols)}"
+        f",langs={'+'.join(langs)},id={id_col or 'rank'}"
         ",dbv=2"  # docbase schema v2 (fused sampled-df rows)
     )
     man = Manifest(out_dir, src.fingerprint + layout)
     result = BuildResult(out_dir=out_dir)
-    cpus = int(ray.cluster_resources().get("CPU", 8))
     use_rank = id_col is None
 
     # ------------------------------------------------------- phase docids
@@ -644,18 +698,24 @@ def build_index(
         agg = lens.aggregate(
             Count(), Sum("doc_len", alias_name="total_tokens"),
             Min("doc_id", alias_name="min_id"), Max("doc_id", alias_name="max_id"),
+            Sum("doc_id", alias_name="id_sum"),
         )
-        if agg is None or not agg.get("count()"):
-            raise ValueError(
-                "empty corpus: the source produced 0 docbase rows — "
-                "nothing to index (check the source path/table)"
-            )
         n_docs = int(agg["count()"])
         total_tokens = int(agg["total_tokens"])
         if not (agg["min_id"] == 0 and agg["max_id"] == n_docs - 1):
             raise ValueError(
                 f"doc_ids must be dense 0..N-1 (got min={agg['min_id']} "
                 f"max={agg['max_id']} n={n_docs}); pass id_col=None to rank-assign"
+            )
+        # min/max/count alone accept duplicates paired with gaps
+        # ([0,2,2,3] passes); the id sum rejects them — duplicated ids
+        # would silently corrupt postings (strict-increase breaks) and
+        # the dense doc_len/bits scatter (last write wins)
+        if int(agg["id_sum"]) != n_docs * (n_docs - 1) // 2:
+            raise ValueError(
+                f"doc_ids are not a permutation of 0..N-1 (duplicate ids"
+                f" with matching gaps, id column {id_col!r}); pass"
+                " id_col=None to rank-assign"
             )
         if n_docs_expected is not None and n_docs != n_docs_expected:
             raise ValueError(

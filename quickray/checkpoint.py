@@ -67,6 +67,12 @@ class Manifest:
                     d = os.path.join(out_dir, base)
                     if os.path.isdir(d):
                         shutil.rmtree(d)
+                # persist the NEW (empty) manifest immediately: the
+                # phase dirs are already gone, so if this run dies
+                # before its first mark_done, a rerun under the OLD
+                # fingerprint must not trust the stale all-done
+                # manifest and skip into deleted outputs
+                self._write()
 
     def phase_done(self, name: str) -> bool:
         ph = self.data["phases"].get(name)

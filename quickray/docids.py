@@ -67,6 +67,17 @@ def assign_doc_ids(ds: "ray.data.Dataset") -> "ray.data.Dataset":
             return pa.table({"repo": pa.array([], pa.string()),
                              "path": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
+        # (repo, path) is the document identity; duplicates would get
+        # distinct doc_ids silently. Equal sort keys co-locate in one
+        # block, so a per-block run count is a COMPLETE duplicate check
+        from quickray.util import run_starts
+
+        n_unique = len(run_starts(t["repo"], t["path"]))
+        if n_unique != t.num_rows:
+            raise ValueError(
+                f"duplicate (repo, path) keys: block of {t.num_rows}"
+                f" rows has only {n_unique} distinct keys"
+            )
         return pa.table(
             {
                 "repo": [t["repo"][0].as_py()],
@@ -80,7 +91,14 @@ def assign_doc_ids(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     offsets: dict[tuple[str, str], int] = {}
     acc = 0
     for r in meta:
-        offsets[(r["repo"], r["path"])] = acc
+        k = (r["repo"], r["path"])
+        if k in offsets:
+            # (repo, path) is the document identity — two blocks can
+            # only share a first key if the input has duplicates, and
+            # a silent dict overwrite would hand out duplicate doc_ids
+            # (rank_keys raises on the same input)
+            raise ValueError(f"duplicate (repo, path) key: {k}")
+        offsets[k] = acc
         acc += r["n"]
 
     def stamp(t: pa.Table) -> pa.Table:

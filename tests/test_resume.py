@@ -146,3 +146,66 @@ def test_custom_id_col_name(tmp_path):
     from quickray.engine import Index
 
     assert Index(out).vocab_size > 0
+
+
+def test_langs_change_invalidates(tmp_path):
+    """langs encode the docmeta/posting BITS (scoring.compute_bits bit
+    i = lang == langs[i]); resuming the same dir with different langs
+    must rebuild, not serve flags computed against the old list (r05
+    review: langs/id_col were missing from the layout fingerprint)."""
+    out = str(tmp_path / "b")
+    tbl = generate_corpus(120, seed=3)
+    build_index(tbl, out, hot_df=60, langs=["go", "py"])
+    r = build_index(tbl, out, hot_df=60, langs=["rs"])
+    assert r.stats["langs"] == ["rs"]
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert "langs=rs" in man["fingerprint"]
+
+
+def test_duplicate_ids_with_gap_rejected(tmp_path):
+    """min/max/count density checks alone accept [0,2,2,3]; the id-sum
+    permutation check must reject duplicates paired with gaps instead
+    of silently corrupting postings and the dense doc_len scatter."""
+    import pyarrow as pa
+    import pytest
+
+    n = 4
+    tbl = pa.table(
+        {
+            "repo": pa.array(["r"] * n),
+            "path": pa.array([f"f{i}.go" for i in range(n)]),
+            "commit": pa.array(["c"] * n),
+            "lang": pa.array(["go"] * n),
+            "content": pa.array([f"word{i}" for i in range(n)]),
+            "myid": pa.array([0, 2, 2, 3], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="permutation"):
+        build_index(tbl, str(tmp_path / "b"), id_col="myid")
+
+
+def test_stale_manifest_window_closed(tmp_path):
+    """Fingerprint change wipes phase dirs AND persists the new (empty)
+    manifest immediately: a crash before the first mark_done must not
+    leave the OLD all-done manifest pointing at deleted outputs (r05
+    review: rerun under the old fingerprint skipped every phase, then
+    crashed on the missing files)."""
+    from quickray.checkpoint import Manifest
+
+    out = str(tmp_path / "b")
+    tbl = generate_corpus(80, seed=5)
+    build_index(tbl, out, hot_df=60)
+    man_a = json.load(open(os.path.join(out, "manifest.json")))
+    fp_a = man_a["fingerprint"]
+    assert any(
+        p.get("status") == "done" for p in man_a["phases"].values()
+    )
+    # simulate: a new-fingerprint run starts (wipes dirs) then dies
+    # before any phase completes
+    Manifest(out, fp_a + "|changed")
+    on_disk = json.load(open(os.path.join(out, "manifest.json")))
+    assert on_disk["fingerprint"] == fp_a + "|changed"
+    assert on_disk["phases"] == {}
+    # a rerun under the ORIGINAL fingerprint now rebuilds cleanly
+    r = build_index(tbl, out, hot_df=60)
+    assert r.stats["n_docs"] == 80
