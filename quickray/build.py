@@ -145,8 +145,10 @@ def _make_docbase_fn(rank_ref, id_col_present: bool, sample_mod: int = 1):
             key = rank_ref.hex()
             ranked_np = _WORKER_RANK_NP.get(key)
             if ranked_np is None:
-                if len(_WORKER_RANK_NP) > 4:
-                    _WORKER_RANK_NP.clear()
+                while len(_WORKER_RANK_NP) > 4:
+                    # oldest-only eviction (clear() thrashes concurrent
+                    # builds' rank tables)
+                    _WORKER_RANK_NP.pop(next(iter(_WORKER_RANK_NP)))
                 ranked_np = rank_probe_np(ray.get(rank_ref))
                 _WORKER_RANK_NP[key] = ranked_np
             doc_id = rank_lookup(t, None, ranked_np)

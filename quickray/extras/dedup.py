@@ -401,8 +401,10 @@ def _make_sig_fn(num_perm: int, bands: int, shingle_k: int):
     def sig_fn(batch: pa.Table) -> pa.Table:
         mh = _WORKER_MINHASHERS.get(key)
         if mh is None:
-            if len(_WORKER_MINHASHERS) > 4:
-                _WORKER_MINHASHERS.clear()
+            while len(_WORKER_MINHASHERS) > 4:
+                # oldest-only eviction (clear() thrashes concurrent
+                # pipelines' state — see tokenize.make_run_tokenizer)
+                _WORKER_MINHASHERS.pop(next(iter(_WORKER_MINHASHERS)))
             mh = MinHasher(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
             _WORKER_MINHASHERS[key] = mh
         return mh(batch)

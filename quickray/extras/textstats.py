@@ -6,7 +6,6 @@ stateful actor-pool stage (profiles built once per actor).
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -43,24 +42,60 @@ def token_stats(ds: "rd.Dataset") -> "rd.Dataset":
     span batches), no global shuffle needed."""
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        tok = _tok_table(batch)
-        totals = tok.group_by("doc_id").aggregate([([], "count_all")])
-        distinct = (
-            tok.group_by(["doc_id", "term"]).aggregate([])
-            .group_by("doc_id").aggregate([([], "count_all")])
-        )
-        t = dict(zip(totals["doc_id"].to_pylist(), totals["count_all"].to_pylist()))
-        d = dict(zip(distinct["doc_id"].to_pylist(), distinct["count_all"].to_pylist()))
-        ids = batch["doc_id"].to_pylist()
+        # fully columnar: totals = token count per row position
+        # (bincount over parents); distinct = unique (row, term-code)
+        # pairs via one np.unique over a packed int64 key — no per-row
+        # Python dicts/lists (the measured GC-pressure anti-pattern)
+        flat, parents = flatten_tokens(batch["text"])
+        n = batch.num_rows
+        par = np.asarray(parents, dtype=np.int64)
+        if len(par):
+            totals = np.bincount(par, minlength=n)
+            codes = np.asarray(
+                flat.dictionary_encode().indices, dtype=np.int64
+            )
+            v = int(codes.max()) + 1
+            uniq = np.unique(par * v + codes)
+            distinct = np.bincount(uniq // v, minlength=n)
+        else:
+            totals = np.zeros(n, np.int64)
+            distinct = np.zeros(n, np.int64)
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_tokens": pa.array([t.get(i, 0) for i in ids], pa.int64()),
-                "n_distinct": pa.array([d.get(i, 0) for i in ids], pa.int64()),
+                "doc_id": ids.cast(pa.int64()),
+                "n_tokens": pa.array(totals.astype(np.int64)),
+                "n_distinct": pa.array(distinct.astype(np.int64)),
             }
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def quality_counts_batch(
+    batch: pa.Table, stop_arr: pa.Array
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """THE per-batch quality-count kernel: (n_tokens, n_stopwords,
+    token_len_sum) per row — shared by quality_scores (ratios) and
+    pipelines.quality_pipeline (integer-exact oracle form) so the
+    tokenizer/membership definition cannot silently fork. Vectorized
+    membership + segment sums (pc.is_in + bincount): per-token Python
+    set probes and np.add.at (~100 ns/element) are hot-path
+    anti-patterns at corpus scale; bincount float64 weights of small
+    ints are exact (< 2^53)."""
+    flat, parents = flatten_tokens(batch["text"])
+    par = np.asarray(parents)
+    n = batch.num_rows
+    is_stop = np.asarray(pc.is_in(flat, value_set=stop_arr)).astype(np.float64)
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    n_tok = np.bincount(par, minlength=n).astype(np.int64)
+    n_stop = np.bincount(par, weights=is_stop, minlength=n).astype(np.int64)
+    len_sum = np.bincount(
+        par, weights=tok_len.astype(np.float64), minlength=n
+    ).astype(np.int64)
+    return n_tok, n_stop, len_sum
 
 
 def quality_scores(ds: "rd.Dataset", stopwords=STOPWORDS, ndigits: int = 4) -> "rd.Dataset":
@@ -69,24 +104,7 @@ def quality_scores(ds: "rd.Dataset", stopwords=STOPWORDS, ndigits: int = 4) -> "
     stop_arr = pa.array(sorted(set(stopwords)), pa.string())
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        flat, parents = flatten_tokens(batch["text"])
-        par = np.asarray(parents)
-        n = batch.num_rows
-        # vectorized membership + segment sums (pc.is_in + bincount):
-        # per-token Python set probes and np.add.at are hot-path
-        # anti-patterns at corpus scale; float64 weights of small ints
-        # are exact (< 2^53)
-        is_stop = np.asarray(
-            pc.is_in(flat, value_set=stop_arr)
-        ).astype(np.float64)
-        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
-        n_tok = np.bincount(par, minlength=n).astype(np.int64)
-        n_stop = np.bincount(
-            par, weights=is_stop, minlength=n
-        ).astype(np.int64)
-        len_sum = np.bincount(
-            par, weights=tok_len.astype(np.float64), minlength=n
-        ).astype(np.int64)
+        n_tok, n_stop, len_sum = quality_counts_batch(batch, stop_arr)
         denom = np.maximum(1, n_tok).astype(np.float64)
         return pa.table(
             {
@@ -101,10 +119,14 @@ def quality_scores(ds: "rd.Dataset", stopwords=STOPWORDS, ndigits: int = 4) -> "
 
 
 def content_hashes(ds: "rd.Dataset") -> "rd.Dataset":
-    """doc_id -> sha256(text) — the exact-dup / invariant fingerprint."""
+    """doc_id -> sha256(text) — the exact-dup / invariant fingerprint.
+    Zero-object hashing via buffer slices (util.digest_slices)."""
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.sha256(s.encode()).hexdigest() for s in batch["text"].to_pylist()]
+        from quickray.util import digest_slices
+
+        hexall = digest_slices(batch["text"], "sha256", 32).hex()
+        hs = [hexall[64 * i : 64 * (i + 1)] for i in range(batch.num_rows)]
         return pa.table({"doc_id": batch["doc_id"], "sha256": pa.array(hs, pa.string())})
 
     return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -69,16 +69,30 @@ def _events_ds(sf_dir: str, columns: list[str] | None = None) -> "rd.Dataset":
     )
 
 
-@lru_cache(maxsize=8)
+def _file_tag(src: str) -> str:
+    """Cache tag for an index derived from a source file: abspath +
+    mtime. THE single tag scheme — docs_engine / delta_engine /
+    _ivf_fixture all key their on-disk index caches with it, and the
+    in-process lru caches include it in their key so a regenerated
+    parquet yields a FRESH engine in the same process (an sf_dir-only
+    key served the old memoized engine over stale data)."""
+    return hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+
+
 def docs_engine(sf_dir: str) -> LocalEngine:
     """Build (once, cached+resumable) the full index over the adapted
     documents corpus; returns a query engine on it."""
+    return _docs_engine_cached(
+        sf_dir, _file_tag(os.path.join(sf_dir, "documents.parquet"))
+    )
+
+
+@lru_cache(maxsize=8)
+def _docs_engine_cached(sf_dir: str, tag: str) -> LocalEngine:
     from quickray.build import build_index
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    tag = hashlib.md5(
-        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
-    ).hexdigest()[:12]
     out = os.path.join(CACHE_ROOT, f"docsidx_{tag}")
     corpus = documents_as_corpus(sf_dir)
     # lang is additionally indexed as a field-scoped keyword
@@ -92,8 +106,10 @@ def docs_engine(sf_dir: str) -> LocalEngine:
 
 
 # ------------------------------------------------------------ inverted index
-def term_df(sf_dir: str) -> pa.Table:
-    """(term, df, cf) — the distributed inversion's aggregate view."""
+def term_df(sf_dir: str) -> "rd.Dataset":
+    """(term, df, cf) — the distributed inversion's aggregate view
+    (a streaming Dataset: sum_by_key output, NOT a materialized
+    table — top_terms chains map_batches on it)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         flat, parents = flatten_tokens(batch["text"])
@@ -216,9 +232,10 @@ def range_filter(sf_dir: str) -> pa.Table:
     """Post-retrieval numeric range filter (M5 analog): docs matching
     'join' with doc_len in [40, 70]."""
     eng = docs_engine(sf_dir)
-    cand = eng.candidates(Query(tree=Term("join")))
+    # the flag-free candidate set of a single term IS its posting
+    # (engine._leaf), so the filter is one vectorized range mask
     p = eng.index.posting("join")
-    mask = np.isin(p.doc_ids, cand) & (p.dls >= 40) & (p.dls <= 70)
+    mask = (p.dls >= 40) & (p.dls <= 70)
     return pa.table(
         {
             "doc_id": pa.array(p.doc_ids[mask]),
@@ -264,26 +281,28 @@ def forward_lookup(sf_dir: str) -> pa.Table:
     return pa.table(
         {
             "doc_id": pa.array(ids),
-            "score": pa.array(round_sql(scores, 4)),
+            "score": pa.array(scores),  # topk_rounded already rounded
             "lang": pa.array(meta["lang"].tolist(), pa.string()),
             "sha256": pa.array(meta["sha256"].tolist(), pa.string()),
         }
     )
 
 
-@lru_cache(maxsize=8)
 def delta_engine(sf_dir: str):
     """Delta/tombstone serving fixture over the documents corpus:
     main = first 90% of doc_ids (one build), delta = last 10% (its own
     small build), tombstones = main docs with doc_id % 7 == 3. Served
     through quickray.delta.DeltaEngine — no rebuild of main."""
+    return _delta_engine_cached(
+        sf_dir, _file_tag(os.path.join(sf_dir, "documents.parquet"))
+    )
+
+
+@lru_cache(maxsize=8)
+def _delta_engine_cached(sf_dir: str, tag: str):
     from quickray.build import build_index
     from quickray.delta import DeltaEngine
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    tag = hashlib.md5(
-        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
-    ).hexdigest()[:12]
     corpus = documents_as_corpus(sf_dir)
     n = corpus.num_rows
     cut = n - n // 10
@@ -400,29 +419,15 @@ def token_stats_pipeline(sf_dir: str):
 def quality_pipeline(sf_dir: str) -> pa.Table:
     """Integer-exact quality features (counts, not ratios, so the
     value-hash can't be bitten by rounding-mode differences)."""
-    from quickray.extras.textstats import STOPWORDS
+    from quickray.extras.textstats import STOPWORDS, quality_counts_batch
 
     stop_arr = pa.array(sorted(set(STOPWORDS)), pa.string())
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        flat, parents = flatten_tokens(batch["text"])
-        par = np.asarray(parents)
-        n = batch.num_rows
-        # vectorized membership + segment sums: per-token Python set
-        # probes and np.add.at (~100 ns/element) are both hot-path
-        # anti-patterns at corpus scale; bincount weights of small ints
-        # are float64-exact (< 2^53)
-        is_stop = np.asarray(
-            pc.is_in(flat, value_set=stop_arr)
-        ).astype(np.float64)
-        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
-        n_tok = np.bincount(par, minlength=n).astype(np.int64)
-        n_stop = np.bincount(
-            par, weights=is_stop, minlength=n
-        ).astype(np.int64)
-        len_sum = np.bincount(
-            par, weights=tok_len.astype(np.float64), minlength=n
-        ).astype(np.int64)
+        # shared kernel (textstats.quality_counts_batch) — the integer
+        # form of quality_scores, so the tokenizer/membership
+        # definition cannot silently fork between them
+        n_tok, n_stop, len_sum = quality_counts_batch(batch, stop_arr)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -491,9 +496,7 @@ def _ivf_fixture(sf_dir: str) -> tuple[list, str, str]:
     src = os.path.join(sf_dir, "embeddings.parquet")
     emb = pq.read_table(src)
     qvec = emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py()
-    tag = hashlib.md5(
-        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
-    ).hexdigest()[:12]
+    tag = _file_tag(src)
     return qvec, os.path.join(CACHE_ROOT, f"ivf_{tag}"), tag
 
 

@@ -90,7 +90,16 @@ def doc_len_filter(lo: int, hi: int | None = None) -> Filter:
 
 class Searcher:
     """Template method: union-of-recalls (exact dedup) -> filters ->
-    BM25 rank over the surviving candidate set."""
+    BM25 rank over the surviving candidate set.
+
+    EVERY surviving candidate is returned (up to k) — the reference's
+    Search returns ctx.Result as-is after recall+filter
+    (searcher.go:88-98); the BM25 ranking layered on top orders
+    keyword-matching survivors first and the rest (e.g. docs recalled
+    by a field strategy that contain none of the request keywords)
+    after them with score 0, by ascending doc_id. Dropping zero-score
+    survivors would break the author-recaller use case where the recall
+    key is NOT a content keyword."""
 
     def __init__(self, recallers: Sequence[Recaller],
                  filters: Sequence[Filter] = ()):
@@ -105,5 +114,10 @@ class Searcher:
         for f in self.filters:
             cand = f(eng, ctx, cand)
         q = ctx.query(Or(tuple(Term(t) for t in ctx.keywords)))
-        q.k = k
-        return eng.score(q, cand)
+        ids, sc = eng.score(q, cand)  # keyword-matching survivors only
+        if len(ids) < len(cand):
+            missing = np.setdiff1d(cand, ids, assume_unique=True)
+            ids = np.concatenate([ids, missing])
+            sc = np.concatenate([sc, np.zeros(len(missing), np.float64)])
+        order = np.lexsort((ids, -sc))[:k]
+        return ids[order], sc[order]

@@ -92,19 +92,24 @@ def _parse_batch(batch: pa.Table) -> pa.Table:
     f0..f9 (string). Scalar quirks (cutset trim, Go time layout,
     int32 truncation) run per value in C-backed Python; everything
     whole-column."""
-    cols = [batch[f"f{i}"].to_pylist() for i in range(10)]
+    # only the columns whose quirk parsing needs Python values are
+    # materialized; title (f1) and author (f3) — the largest string
+    # columns — pass through as Arrow untouched
+    def _pl(i: int) -> list:
+        return batch[f"f{i}"].to_pylist()
+
     n = batch.num_rows
-    ids = [_trim_cutset(s or "") for s in cols[0]]
-    post = [_parse_go_time(s or "") for s in cols[2]]
+    ids = [_trim_cutset(s or "") for s in _pl(0)]
+    post = [_parse_go_time(s or "") for s in _pl(2)]
     counters = {
         name: np.fromiter(
-            (_parse_int32(s or "") for s in cols[4 + i]), np.int32, count=n
+            (_parse_int32(s or "") for s in _pl(4 + i)), np.int32, count=n
         )
         for i, name in enumerate(_COUNTERS)
     }
     kws = [
         [k.strip().lower() for k in (s or "").split(",") if k.strip()]
-        for s in cols[9]
+        for s in _pl(9)
     ]
     return pa.table(
         {

@@ -450,8 +450,11 @@ def make_run_tokenizer(tag: str, **tokenizer_kwargs):
     def tokenize_runs(batch: pa.Table) -> pa.Table:
         tok = _WORKER_TOKENIZERS.get(tag)
         if tok is None:
-            if len(_WORKER_TOKENIZERS) > 4:
-                _WORKER_TOKENIZERS.clear()
+            while len(_WORKER_TOKENIZERS) > 4:
+                # evict the OLDEST tag only — clear() would drop state
+                # another in-flight pipeline is actively reusing, and
+                # competing tags would thrash each other's rank tables
+                _WORKER_TOKENIZERS.pop(next(iter(_WORKER_TOKENIZERS)))
             tok = Tokenizer(**tokenizer_kwargs)
             _WORKER_TOKENIZERS[tag] = tok
         return tok(batch)

@@ -117,12 +117,16 @@ def test_author_recaller_port(field_engine, field_corpus):
         Query(tree=Term(lang, field="lang"), k=10**9)
     ).tolist()
     s = Searcher([by_field])
-    ids, _ = s.search(field_engine, ctx, k=10**6)
-    # scored set: docs from field recall that also match the keyword OR
+    ids, scores = s.search(field_engine, ctx, k=10**6)
+    # EVERY recalled survivor returns (reference Search returns
+    # ctx.Result as-is): the full field-recall set; docs also matching
+    # the keyword rank first with BM25 score, the rest score 0
     kw = set(
         field_engine.candidates(Query(tree=Term("func"), k=10**9)).tolist()
     )
-    assert set(ids.tolist()) == (set(got_field.tolist()) & kw)
+    assert set(ids.tolist()) == set(got_field.tolist())
+    for d, s_ in zip(ids.tolist(), scores.tolist()):
+        assert (s_ > 0) == (d in kw)
 
 
 def test_field_hot_detection_case_folds(tmp_path, ray_session):

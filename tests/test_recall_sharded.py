@@ -40,13 +40,20 @@ def test_multi_recall_union(engine):
     """Two recall strategies merged with exact dedup (searcher.go:38-79)."""
     ctx = SearchContext(["func"], extras={})
     s = Searcher([keyword_recaller, make_term_recaller("return")])
-    ids, _ = s.search(engine, ctx, k=10**6)
+    ids, scores = s.search(engine, ctx, k=10**6)
     only_kw = engine.candidates(Query(tree=Term("func"), k=10**6))
     only_ret = engine.candidates(Query(tree=Term("return"), k=10**6))
-    # scored set = candidates matching 'func' among the union; the union
-    # recall must cover both strategies
-    assert set(ids.tolist()) == set(only_kw.tolist())
-    assert len(set(only_kw) | set(only_ret)) >= len(set(ids))
+    # EVERY surviving candidate returns (reference Search returns
+    # ctx.Result as-is, searcher.go:88-98): the full union, keyword
+    # matches ranked first, keyword-less survivors after with score 0
+    union = set(only_kw.tolist()) | set(only_ret.tolist())
+    assert set(ids.tolist()) == union
+    kw_set = set(only_kw.tolist())
+    for d, s_ in zip(ids.tolist(), scores.tolist()):
+        assert (s_ > 0) == (d in kw_set)
+    # zero-score tail is ordered by ascending doc_id after the ranked head
+    tail = [d for d, s_ in zip(ids.tolist(), scores.tolist()) if s_ == 0]
+    assert tail == sorted(tail)
 
 
 def test_sharded_scatter_gather_matches_local(built_index, ray_session):
